@@ -1,0 +1,281 @@
+"""PyTorch checkpoint compatibility: published FLowHigh/BigVGAN weights load
+into the JAX pytrees, and our pytrees export back to the torch layout.
+
+Checkpoint schemas handled (reference):
+- model package ``{'model': state_dict, 'optim': ..., 'scheduler': ...}``
+  (reference: src/flowhigh/train/trainer.py:209-215, flowhighsr.py:131-136)
+  whose state dict prefixes everything with ``flowhigh.`` and embeds the
+  frozen vocoder under ``flowhigh.audio_enc_dec.vocoder.`` with weight norm
+  already folded (remove_weight_norm runs at vocoder init,
+  bigvgan/init_vocoder.py:14-17);
+- vocoder package ``{'generator': state_dict}`` with weight-norm
+  parametrization (``weight_g``/``weight_v``) intact
+  (reference: src/flowhigh/models/bigvgan/models.py:124-204).
+
+Layout conventions converted here (torch -> jax):
+- Linear ``[out, in]``            -> Dense kernel ``[in, out]`` (transpose)
+- Conv1d ``[out, in/g, K]``       -> HIO kernel ``[K, in/g, out]`` (perm 2,1,0)
+- ConvTranspose1d ``[in, out, K]``-> ``[K, out, in]`` (perm 2,1,0; our
+  conv_transpose1d stores the transpose orientation)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+def _to_np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                      dtype=np.float32)
+
+
+def _linear(t):
+    return _to_np(t).T
+
+
+def _conv(t):
+    return _to_np(t).transpose(2, 1, 0)
+
+
+def fold_weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """w = g * v / ||v||, norm over all dims except 0 (torch weight_norm dim=0)."""
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+    return (g / norm) * v
+
+
+class _StateDict:
+    """Uniform accessor folding weight norm on demand."""
+
+    def __init__(self, sd: dict, prefix: str = ""):
+        self.sd = sd
+        self.prefix = prefix
+
+    def has(self, key: str) -> bool:
+        return self.prefix + key in self.sd
+
+    def raw(self, key: str) -> np.ndarray:
+        return _to_np(self.sd[self.prefix + key])
+
+    def weight(self, module: str) -> np.ndarray:
+        """Plain or weight-normed conv/linear weight of ``module``."""
+        if self.has(module + ".weight"):
+            return self.raw(module + ".weight")
+        g = self.raw(module + ".weight_g")
+        v = self.raw(module + ".weight_v")
+        return fold_weight_norm(g, v)
+
+
+# --- vector-field network -----------------------------------------------------
+
+def map_model_state_dict(sd: dict, model_cfg) -> dict:
+    """torch FLowHigh state dict (keys under ``flowhigh.``) -> flax params."""
+    keys = list(sd.keys())
+    if any(k.startswith("module.") for k in keys):
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    prefix = "flowhigh." if any(k.startswith("flowhigh.") for k in sd) else ""
+    s = _StateDict(sd, prefix)
+
+    p: dict = {
+        "null_cond": s.raw("null_cond"),
+        "to_embed": {"kernel": _linear(sd[prefix + "to_embed.weight"]),
+                     "bias": s.raw("to_embed.bias")},
+        "conv_embed": {
+            "kernel": _conv(sd[prefix + "conv_embed.dw_conv1d.0.weight"]),
+            "bias": s.raw("conv_embed.dw_conv1d.0.bias"),
+        },
+        "sinu_pos_emb": {"weights": s.raw("sinu_pos_emb.0.weights")},
+        "time_mlp": {"kernel": _linear(sd[prefix + "sinu_pos_emb.1.weight"]),
+                     "bias": s.raw("sinu_pos_emb.1.bias")},
+        "to_pred": {"kernel": _linear(sd[prefix + "to_pred.weight"])},
+    }
+
+    if model_cfg.architecture == "transformer":
+        tr: dict = {}
+        for i in range(model_cfg.depth):
+            L = f"transformer.layers.{i}."
+            tr[f"layers_{i}_attn_norm"] = {
+                "to_gamma": {"kernel": _linear(sd[prefix + L + "2.to_gamma.weight"]),
+                             "bias": s.raw(L + "2.to_gamma.bias")},
+                "to_beta": {"kernel": _linear(sd[prefix + L + "2.to_beta.weight"]),
+                            "bias": s.raw(L + "2.to_beta.bias")},
+            }
+            attn = {
+                "to_qkv": {"kernel": _linear(sd[prefix + L + "3.to_qkv.weight"])},
+                "to_out": {"kernel": _linear(sd[prefix + L + "3.to_out.weight"])},
+            }
+            if s.has(L + "3.q_norm.gamma"):
+                attn["q_norm"] = {"gamma": s.raw(L + "3.q_norm.gamma")}
+                attn["k_norm"] = {"gamma": s.raw(L + "3.k_norm.gamma")}
+            tr[f"layers_{i}_attn"] = attn
+            tr[f"layers_{i}_ff_norm"] = {
+                "to_gamma": {"kernel": _linear(sd[prefix + L + "4.to_gamma.weight"]),
+                             "bias": s.raw(L + "4.to_gamma.bias")},
+                "to_beta": {"kernel": _linear(sd[prefix + L + "4.to_beta.weight"]),
+                            "bias": s.raw(L + "4.to_beta.bias")},
+            }
+            tr[f"layers_{i}_ff"] = {
+                "proj_in": {"kernel": _linear(sd[prefix + L + "5.0.weight"]),
+                            "bias": s.raw(L + "5.0.bias")},
+                "proj_out": {"kernel": _linear(sd[prefix + L + "5.3.weight"]),
+                             "bias": s.raw(L + "5.3.bias")},
+            }
+        tr["final_norm"] = {"gamma": s.raw("transformer.final_norm.gamma")}
+        p["transformer"] = tr
+    else:  # convnext
+        cn: dict = {}
+        for i in range(model_cfg.convnext_layers):
+            L = f"convnext.{i}."
+            cn[f"blocks_{i}"] = {
+                "dwconv_kernel": _conv(sd[prefix + L + "dwconv.weight"]),
+                "dwconv_bias": s.raw(L + "dwconv.bias"),
+                "norm": {
+                    "scale": {"kernel": _linear(sd[prefix + L + "norm.scale.weight"]),
+                              "bias": s.raw(L + "norm.scale.bias")},
+                    "shift": {"kernel": _linear(sd[prefix + L + "norm.shift.weight"]),
+                              "bias": s.raw(L + "norm.shift.bias")},
+                },
+                "pwconv1": {"kernel": _linear(sd[prefix + L + "pwconv1.weight"]),
+                            "bias": s.raw(L + "pwconv1.bias")},
+                "pwconv2": {"kernel": _linear(sd[prefix + L + "pwconv2.weight"]),
+                            "bias": s.raw(L + "pwconv2.bias")},
+                "gamma": s.raw(L + "gamma"),
+            }
+        cn["final_norm_scale"] = s.raw("final_layer_norm.weight")
+        cn["final_norm_bias"] = s.raw("final_layer_norm.bias")
+        p["convnext"] = cn
+
+    return {"params": _tree_to_jnp(p)}
+
+
+def _tree_to_jnp(tree):
+    import jax.numpy as jnp
+    if isinstance(tree, dict):
+        return {k: _tree_to_jnp(v) for k, v in tree.items()}
+    return jnp.asarray(tree)
+
+
+# --- vocoder -------------------------------------------------------------------
+
+def map_vocoder_state_dict(sd: dict, voc_cfg) -> dict:
+    """torch BigVGAN generator state dict -> flax params. Accepts both the
+    weight-normed standalone checkpoint and the folded embedded copy."""
+    s = _StateDict(sd)
+    num_kernels = len(voc_cfg.resblock_kernel_sizes)
+
+    p: dict = {
+        "conv_pre_kernel": s.weight("conv_pre").transpose(2, 1, 0),
+        "conv_pre_bias": s.raw("conv_pre.bias"),
+        "conv_post_kernel": s.weight("conv_post").transpose(2, 1, 0),
+        "conv_post_bias": s.raw("conv_post.bias"),
+        "activation_post": _act_params(s, "activation_post", voc_cfg),
+    }
+    for i in range(len(voc_cfg.upsample_rates)):
+        p[f"ups_{i}_kernel"] = s.weight(f"ups.{i}.0").transpose(2, 1, 0)
+        p[f"ups_{i}_bias"] = s.raw(f"ups.{i}.0.bias")
+
+    n_blocks = len(voc_cfg.upsample_rates) * num_kernels
+    for n in range(n_blocks):
+        B = f"resblocks.{n}"
+        blk: dict = {}
+        if voc_cfg.resblock == "1":
+            for j in range(len(voc_cfg.resblock_dilation_sizes[n % num_kernels])):
+                blk[f"convs1_{j}_kernel"] = s.weight(f"{B}.convs1.{j}").transpose(2, 1, 0)
+                blk[f"convs1_{j}_bias"] = s.raw(f"{B}.convs1.{j}.bias")
+                blk[f"convs2_{j}_kernel"] = s.weight(f"{B}.convs2.{j}").transpose(2, 1, 0)
+                blk[f"convs2_{j}_bias"] = s.raw(f"{B}.convs2.{j}.bias")
+                blk[f"act1_{j}"] = _act_params(s, f"{B}.activations.{2 * j}", voc_cfg)
+                blk[f"act2_{j}"] = _act_params(s, f"{B}.activations.{2 * j + 1}", voc_cfg)
+        else:
+            for j in range(len(voc_cfg.resblock_dilation_sizes[n % num_kernels])):
+                blk[f"convs_{j}_kernel"] = s.weight(f"{B}.convs.{j}").transpose(2, 1, 0)
+                blk[f"convs_{j}_bias"] = s.raw(f"{B}.convs.{j}.bias")
+                blk[f"act_{j}"] = _act_params(s, f"{B}.activations.{j}", voc_cfg)
+        p[f"resblocks_{n}"] = blk
+
+    return {"params": _tree_to_jnp(p)}
+
+
+def _act_params(s: _StateDict, base: str, voc_cfg) -> dict:
+    out = {"alpha": s.raw(base + ".act.alpha")}
+    if voc_cfg.activation == "snakebeta":
+        out["beta"] = s.raw(base + ".act.beta")
+    return out
+
+
+# --- export (jax -> torch layout) ----------------------------------------------
+
+def params_to_torch_state(params: dict, model_cfg) -> dict:
+    """Inverse of map_model_state_dict (vector-field net only, no weight norm)
+    so training checkpoints stay loadable by torch-side tooling."""
+    p = params["params"] if "params" in params else params
+
+    def n(x):
+        return np.asarray(x)
+
+    sd: dict = {
+        "flowhigh.null_cond": n(p["null_cond"]),
+        "flowhigh.to_embed.weight": n(p["to_embed"]["kernel"]).T,
+        "flowhigh.to_embed.bias": n(p["to_embed"]["bias"]),
+        "flowhigh.conv_embed.dw_conv1d.0.weight": n(p["conv_embed"]["kernel"]).transpose(2, 1, 0),
+        "flowhigh.conv_embed.dw_conv1d.0.bias": n(p["conv_embed"]["bias"]),
+        "flowhigh.sinu_pos_emb.0.weights": n(p["sinu_pos_emb"]["weights"]),
+        "flowhigh.sinu_pos_emb.1.weight": n(p["time_mlp"]["kernel"]).T,
+        "flowhigh.sinu_pos_emb.1.bias": n(p["time_mlp"]["bias"]),
+        "flowhigh.to_pred.weight": n(p["to_pred"]["kernel"]).T,
+    }
+    if model_cfg.architecture == "transformer":
+        tr = p["transformer"]
+        for i in range(model_cfg.depth):
+            L = f"flowhigh.transformer.layers.{i}."
+            an, at, fn_, ff = (tr[f"layers_{i}_attn_norm"], tr[f"layers_{i}_attn"],
+                               tr[f"layers_{i}_ff_norm"], tr[f"layers_{i}_ff"])
+            sd[L + "2.to_gamma.weight"] = n(an["to_gamma"]["kernel"]).T
+            sd[L + "2.to_gamma.bias"] = n(an["to_gamma"]["bias"])
+            sd[L + "2.to_beta.weight"] = n(an["to_beta"]["kernel"]).T
+            sd[L + "2.to_beta.bias"] = n(an["to_beta"]["bias"])
+            sd[L + "3.to_qkv.weight"] = n(at["to_qkv"]["kernel"]).T
+            sd[L + "3.to_out.weight"] = n(at["to_out"]["kernel"]).T
+            if "q_norm" in at:
+                sd[L + "3.q_norm.gamma"] = n(at["q_norm"]["gamma"])
+                sd[L + "3.k_norm.gamma"] = n(at["k_norm"]["gamma"])
+            sd[L + "4.to_gamma.weight"] = n(fn_["to_gamma"]["kernel"]).T
+            sd[L + "4.to_gamma.bias"] = n(fn_["to_gamma"]["bias"])
+            sd[L + "4.to_beta.weight"] = n(fn_["to_beta"]["kernel"]).T
+            sd[L + "4.to_beta.bias"] = n(fn_["to_beta"]["bias"])
+            sd[L + "5.0.weight"] = n(ff["proj_in"]["kernel"]).T
+            sd[L + "5.0.bias"] = n(ff["proj_in"]["bias"])
+            sd[L + "5.3.weight"] = n(ff["proj_out"]["kernel"]).T
+            sd[L + "5.3.bias"] = n(ff["proj_out"]["bias"])
+        sd["flowhigh.transformer.final_norm.gamma"] = n(tr["final_norm"]["gamma"])
+    return sd
+
+
+# --- top-level loader ----------------------------------------------------------
+
+def load_flowhigh_checkpoint(ckpt_dir: Path, model_file: str,
+                             cfm_method: Optional[str] = None):
+    """Directory layout of the published checkpoints
+    (reference: flowhighsr.py:109-137, 141-147)."""
+    import torch
+
+    from ..config import FlowHighConfig, VocoderConfig
+    from ..sr import FlowHighSR
+
+    ckpt_dir = Path(ckpt_dir)
+    voc_cfg = VocoderConfig.from_json(ckpt_dir / "bigvgan_48khz_256band.json")
+    config = FlowHighConfig().replace(vocoder=voc_cfg)
+
+    voc_pkg = torch.load(ckpt_dir / "bigvgan_48khz_256band.pt",
+                         map_location="cpu", weights_only=True)
+    voc_params = map_vocoder_state_dict(voc_pkg["generator"], voc_cfg)
+
+    pkg = torch.load(ckpt_dir / model_file, map_location="cpu", weights_only=True)
+    params = map_model_state_dict(pkg["model"], config.model)
+
+    sr = FlowHighSR(config, params=params, vocoder_params=voc_params,
+                    cfm_method=cfm_method or "basic_cfm")
+    return sr

@@ -1,0 +1,278 @@
+"""BigVGAN 48 kHz 256-band generator, TPU-native.
+
+Re-design of the reference vocoder (reference:
+src/flowhigh/models/bigvgan/models.py:124-194, activations.py,
+alias_free_torch/{filter,resample,act}.py) around XLA's conv lowering:
+
+- feature-last [B, T, C] everywhere: channels ride the TPU lane dimension, so
+  pointwise snake activations vectorize on the VPU and the big channel-mixing
+  convs hit the MXU without layout transposes.
+- weight norm is folded into plain kernels at checkpoint-load time (the
+  reference folds it at init via remove_weight_norm, models.py:196-204), so
+  the forward pass never sees g/v pairs.
+- the anti-aliased activation (2x upsample -> snake -> 2x downsample) is
+  expressed with static Kaiser-sinc FIRs baked at trace time; the fused
+  Pallas kernel for this memory-bound chain lives in ops/ and is switched in
+  by the caller for the fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal as sps
+
+from ..config import VocoderConfig
+
+
+# --- static FIR design (host, trace-time) ------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> np.ndarray:
+    """Windowed-sinc LPF, parity with the reference's filter design
+    (reference: alias_free_torch/filter.py:28-57)."""
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+    delta_f = 4 * half_width
+    a = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
+    if a > 50.0:
+        beta = 0.1102 * (a - 8.7)
+    elif a >= 21.0:
+        beta = 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21.0)
+    else:
+        beta = 0.0
+    window = sps.windows.kaiser(kernel_size, beta, sym=True)
+    if even:
+        time = np.arange(-half_size, half_size) + 0.5
+    else:
+        time = np.arange(kernel_size) - half_size
+    if cutoff == 0:
+        return np.zeros(kernel_size, dtype=np.float32)
+    filt = 2 * cutoff * window * np.sinc(2 * cutoff * time)
+    filt /= filt.sum()
+    return filt.astype(np.float32)
+
+
+# --- primitive convs (NHC layout) --------------------------------------------
+
+def conv1d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None, *,
+           stride: int = 1, padding: int = 0, dilation: int = 1,
+           groups: int = 1) -> jax.Array:
+    """x: [B, T, Cin], w: [K, Cin/groups, Cout] (HIO)."""
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride,), [(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv_transpose1d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
+                     *, stride: int, padding: int = 0,
+                     groups: int = 1) -> jax.Array:
+    """torch ConvTranspose1d semantics: out = (T-1)*stride - 2*padding + K.
+
+    x: [B, T, Cin]; w: [K, Cout/groups, Cin] in *transpose* orientation —
+    we express it as a fractionally-strided conv: dilate the input by
+    ``stride``, flip the kernel, swap in/out channels.
+    """
+    k = w.shape[0]
+    w_conv = jnp.flip(w, axis=0)            # flip taps
+    w_conv = jnp.swapaxes(w_conv, 1, 2)     # [K, Cin/groups, Cout] -> HIO for fwd conv
+    y = jax.lax.conv_general_dilated(
+        x, w_conv, (1,), [(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def _replicate_pad_time(x: jax.Array, left: int, right: int) -> jax.Array:
+    cfg = [(0, 0)] * x.ndim
+    cfg[1] = (left, right)
+    return jnp.pad(x, cfg, mode="edge")
+
+
+def upsample1d(x: jax.Array, ratio: int = 2, kernel_size: Optional[int] = None) -> jax.Array:
+    """Anti-aliased upsample (reference: alias_free_torch/resample.py:10-33)."""
+    k = int(6 * ratio // 2) * 2 if kernel_size is None else kernel_size
+    c = x.shape[-1]
+    pad = k // ratio - 1
+    pad_left = pad * ratio + (k - ratio) // 2
+    pad_right = pad * ratio + (k - ratio + 1) // 2
+    filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, k)
+    w = jnp.asarray(filt).reshape(k, 1, 1) * jnp.ones((1, 1, c), x.dtype)  # [K,1,C]
+    x = _replicate_pad_time(x, pad, pad)
+    # torch conv_transpose1d with symmetric filter: flip == identity, but keep
+    # the generic path via conv_transpose1d (depthwise: w as [K, Cout/groups=1, Cin...])
+    y = ratio * jax.lax.conv_general_dilated(
+        x, w, (1,), [(k - 1, k - 1)], lhs_dilation=(ratio,),
+        dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=c,
+    )
+    t = y.shape[1]
+    return y[:, pad_left : t - pad_right, :]
+
+
+def downsample1d(x: jax.Array, ratio: int = 2, kernel_size: Optional[int] = None) -> jax.Array:
+    """Anti-aliased strided low-pass (reference: alias_free_torch/resample.py:36-48,
+    filter.py:60-94)."""
+    k = int(6 * ratio // 2) * 2 if kernel_size is None else kernel_size
+    c = x.shape[-1]
+    even = k % 2 == 0
+    pad_left = k // 2 - int(even)
+    pad_right = k // 2
+    filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, k)
+    w = jnp.asarray(filt).reshape(k, 1, 1) * jnp.ones((1, 1, c), x.dtype)
+    x = _replicate_pad_time(x, pad_left, pad_right)
+    return jax.lax.conv_general_dilated(
+        x, w, (ratio,), [(0, 0)],
+        dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=c,
+    )
+
+
+def snake(x: jax.Array, alpha: jax.Array, logscale: bool) -> jax.Array:
+    """x + (1/a) sin^2(a x), per-channel alpha (reference: activations.py:9-59)."""
+    if logscale:
+        alpha = jnp.exp(alpha)
+    return x + (1.0 / (alpha + 1e-9)) * jnp.square(jnp.sin(x * alpha))
+
+
+def snake_beta(x: jax.Array, alpha: jax.Array, beta: jax.Array, logscale: bool) -> jax.Array:
+    """x + (1/b) sin^2(a x) (reference: activations.py:62-119)."""
+    if logscale:
+        alpha = jnp.exp(alpha)
+        beta = jnp.exp(beta)
+    return x + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(x * alpha))
+
+
+class Activation1d(nn.Module):
+    """2x upsample -> snake(beta) -> 2x downsample
+    (reference: alias_free_torch/act.py:8-27)."""
+    channels: int
+    activation: str = "snakebeta"  # snake | snakebeta
+    logscale: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, C]
+        init = nn.initializers.zeros if self.logscale else nn.initializers.ones
+        alpha = self.param("alpha", init, (self.channels,))
+        y = upsample1d(x, 2, 12)
+        if self.activation == "snakebeta":
+            beta = self.param("beta", init, (self.channels,))
+            y = snake_beta(y, alpha, beta, self.logscale)
+        else:
+            y = snake(y, alpha, self.logscale)
+        return downsample1d(y, 2, 12)
+
+
+class AMPBlock1(nn.Module):
+    """3x [act -> dilated conv -> act -> conv] residual fusion
+    (reference: bigvgan/models.py:21-78)."""
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+    activation: str
+    logscale: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        for j, d in enumerate(self.dilations):
+            xt = Activation1d(self.channels, self.activation, self.logscale,
+                              name=f"act1_{j}")(x)
+            w = self.param(f"convs1_{j}_kernel", nn.initializers.lecun_normal(),
+                           (k, self.channels, self.channels))
+            b = self.param(f"convs1_{j}_bias", nn.initializers.zeros, (self.channels,))
+            xt = conv1d(xt.astype(self.dtype), w.astype(self.dtype), b,
+                        padding=(k * d - d) // 2, dilation=d)
+            xt = Activation1d(self.channels, self.activation, self.logscale,
+                              name=f"act2_{j}")(xt)
+            w2 = self.param(f"convs2_{j}_kernel", nn.initializers.lecun_normal(),
+                            (k, self.channels, self.channels))
+            b2 = self.param(f"convs2_{j}_bias", nn.initializers.zeros, (self.channels,))
+            xt = conv1d(xt.astype(self.dtype), w2.astype(self.dtype), b2,
+                        padding=(k - 1) // 2)
+            x = xt + x
+        return x
+
+
+class AMPBlock2(nn.Module):
+    """2x [act -> dilated conv] residual (reference: bigvgan/models.py:81-117)."""
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+    activation: str
+    logscale: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        for j, d in enumerate(self.dilations):
+            xt = Activation1d(self.channels, self.activation, self.logscale,
+                              name=f"act_{j}")(x)
+            w = self.param(f"convs_{j}_kernel", nn.initializers.lecun_normal(),
+                           (k, self.channels, self.channels))
+            b = self.param(f"convs_{j}_bias", nn.initializers.zeros, (self.channels,))
+            xt = conv1d(xt.astype(self.dtype), w.astype(self.dtype), b,
+                        padding=(k * d - d) // 2, dilation=d)
+            x = xt + x
+        return x
+
+
+class BigVGAN(nn.Module):
+    """Generator: conv_pre -> [up -> MRF avg]* -> act -> conv_post -> tanh
+    (reference: bigvgan/models.py:124-194)."""
+    cfg: VocoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jax.Array) -> jax.Array:
+        """mel: [B, T, n_mels] -> waveform [B, T * prod(upsample_rates)]."""
+        cfg = self.cfg
+        num_kernels = len(cfg.resblock_kernel_sizes)
+        block_cls = AMPBlock1 if cfg.resblock == "1" else AMPBlock2
+
+        ch = cfg.upsample_initial_channel
+        w = self.param("conv_pre_kernel", nn.initializers.lecun_normal(),
+                       (7, cfg.num_mels, ch))
+        b = self.param("conv_pre_bias", nn.initializers.zeros, (ch,))
+        x = conv1d(mel.astype(self.dtype), w.astype(self.dtype), b, padding=3)
+
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            ch_out = cfg.upsample_initial_channel // (2 ** (i + 1))
+            wt = self.param(f"ups_{i}_kernel", nn.initializers.lecun_normal(),
+                            (k, ch_out, ch))  # [K, Cout, Cin] transpose orientation
+            bt = self.param(f"ups_{i}_bias", nn.initializers.zeros, (ch_out,))
+            x = conv_transpose1d(x, wt.astype(self.dtype), bt, stride=u,
+                                 padding=(k - u) // 2)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+                y = block_cls(
+                    ch_out, rk, rd, cfg.activation, cfg.snake_logscale,
+                    dtype=self.dtype, name=f"resblocks_{i * num_kernels + j}")(x)
+                acc = y if acc is None else acc + y
+            x = acc / num_kernels
+            ch = ch_out
+
+        x = Activation1d(ch, cfg.activation, cfg.snake_logscale,
+                         name="activation_post")(x)
+        w_post = self.param("conv_post_kernel", nn.initializers.lecun_normal(),
+                            (7, ch, 1))
+        b_post = self.param("conv_post_bias", nn.initializers.zeros, (1,))
+        x = conv1d(x.astype(self.dtype), w_post.astype(self.dtype), b_post, padding=3)
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]  # [B, T_wav]

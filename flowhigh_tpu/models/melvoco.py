@@ -1,0 +1,83 @@
+"""Mel codec: waveform -> 256-band log-mel, and mel -> waveform via BigVGAN.
+
+Functional re-design of the reference MelVoco
+(reference: src/flowhigh/models/melvoco.py:16-122): encode is a pure jittable
+function of the (static) mel config — reflect pad (n_fft-hop)/2, center=False
+STFT, sqrt(re^2+im^2+1e-9) magnitude, Slaney mel matmul, log-clamp 1e-5 — and
+decode applies the frozen BigVGAN generator params.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MelConfig, VocoderConfig
+from ..dsp import apply_mel, log_compress, mel_filterbank, stft_magnitude
+from .bigvgan import BigVGAN
+
+
+def encode(audio: jax.Array, cfg: MelConfig = MelConfig()) -> jax.Array:
+    """[B, T] in [-1, 1] -> [B, frames, n_mels] log-mel
+    (reference: melvoco.py:56-86)."""
+    mag = stft_magnitude(
+        audio, cfg.n_fft, cfg.hop_length, cfg.win_length,
+        center=False, pad_mode="reflect", eps=1e-9,
+    )  # [B, bins, frames]
+    basis = mel_filterbank(cfg.sampling_rate, cfg.n_fft, cfg.n_mels,
+                           cfg.f_min, cfg.f_max)
+    mel = apply_mel(mag, basis)
+    mel = log_compress(mel, 1e-5)
+    return jnp.swapaxes(mel, -1, -2)  # [B, frames, n_mels]
+
+
+class MelVoco:
+    """Thin stateful wrapper pairing the encode config with vocoder params.
+
+    Mirrors the reference's MelVoco surface (n_mels/sampling_rate/hop_length/
+    win_length attributes, encode/decode/latent_dim) while keeping the actual
+    compute functional so it jits and shards cleanly.
+    """
+
+    def __init__(self, mel_cfg: MelConfig = MelConfig(),
+                 voc_cfg: VocoderConfig = VocoderConfig(),
+                 vocoder_params=None, dtype=jnp.float32):
+        self.mel_cfg = mel_cfg
+        self.voc_cfg = voc_cfg
+        self.vocoder = BigVGAN(voc_cfg, dtype=dtype)
+        self.vocoder_params = vocoder_params
+
+    # reference attribute surface (melvoco.py:17-54)
+    @property
+    def n_mels(self):
+        return self.mel_cfg.n_mels
+
+    @property
+    def sampling_rate(self):
+        return self.mel_cfg.sampling_rate
+
+    @property
+    def hop_length(self):
+        return self.mel_cfg.hop_length
+
+    @property
+    def win_length(self):
+        return self.mel_cfg.win_length
+
+    @property
+    def latent_dim(self):
+        return self.mel_cfg.n_mels
+
+    def init_vocoder_params(self, rng, frames: int = 16):
+        mel = jnp.zeros((1, frames, self.voc_cfg.num_mels))
+        self.vocoder_params = self.vocoder.init(rng, mel)
+        return self.vocoder_params
+
+    def encode(self, audio: jax.Array) -> jax.Array:
+        return encode(audio, self.mel_cfg)
+
+    def decode(self, mel: jax.Array) -> jax.Array:
+        """[B, frames, n_mels] -> [B, frames * hop] waveform
+        (reference: melvoco.py:114-121)."""
+        assert self.vocoder_params is not None, "vocoder params not loaded"
+        return self.vocoder.apply(self.vocoder_params, mel)

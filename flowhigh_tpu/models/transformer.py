@@ -1,0 +1,235 @@
+"""Voicebox-style transformer backbone for the CFM vector field.
+
+TPU-native re-design of the reference backbone
+(reference: src/flowhigh/models/transformer.py, attend.py, pos_emb.py):
+
+- One fused QKV projection per layer feeding an einsum attention that XLA
+  lowers onto the MXU (seq lengths here are a few hundred to a few thousand
+  mel frames; a 2-layer/1024-dim model is firmly in the "let XLA fuse it"
+  regime — a Pallas flash kernel is wired in behind a flag for long-form).
+- All norms/softmax in f32; matmuls in the configured compute dtype (bf16 on
+  TPU); RoPE applied in f32 exactly like the reference's autocast-off blocks
+  (reference: src/flowhigh/models/pos_emb.py:58-60).
+- Static shapes + optional key-padding mask so variable-length batches ride
+  bucketed padding through one compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l2norm(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """torch.nn.functional.normalize parity: x / max(||x||2, eps)."""
+    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU — torch nn.GELU default (jax defaults to tanh approx)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def rotary_freqs(seq_len: int, dim_head: int, theta: float = 50000.0) -> jax.Array:
+    """[seq, dim_head] rotary angle table, duplicated halves
+    (reference: src/flowhigh/models/pos_emb.py:29-52)."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, dim_head, 2, dtype=np.float64) / dim_head))
+    t = np.arange(seq_len, dtype=np.float64)
+    freqs = np.einsum("i,j->ij", t, inv_freq)
+    freqs = np.concatenate([freqs, freqs], axis=-1)
+    return jnp.asarray(freqs, dtype=jnp.float32)
+
+
+def apply_rotary(pos: jax.Array, t: jax.Array) -> jax.Array:
+    """t * cos(pos) + rotate_half(t) * sin(pos), computed in f32."""
+    dtype = t.dtype
+    t32 = t.astype(jnp.float32)
+    half = t32.shape[-1] // 2
+    t1, t2 = t32[..., :half], t32[..., half:]
+    rotated = jnp.concatenate([-t2, t1], axis=-1)
+    out = t32 * jnp.cos(pos) + rotated * jnp.sin(pos)
+    return out.astype(dtype)
+
+
+class RMSNorm(nn.Module):
+    """normalize(x) * sqrt(dim) * gamma (reference: transformer.py:49-59)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        y = l2norm(x.astype(jnp.float32)) * (self.dim ** 0.5)
+        return (y * gamma).astype(x.dtype)
+
+
+class AdaptiveRMSNorm(nn.Module):
+    """Time-conditioned RMSNorm, identity at init
+    (reference: transformer.py:61-88)."""
+    dim: int
+    cond_dim: int
+
+    @nn.compact
+    def __call__(self, x, *, cond):
+        to_gamma = nn.Dense(
+            self.dim, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.ones, name="to_gamma", dtype=jnp.float32)
+        to_beta = nn.Dense(
+            self.dim, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, name="to_beta", dtype=jnp.float32)
+        gamma = to_gamma(cond.astype(jnp.float32))[:, None, :]  # [B, 1, D]
+        beta = to_beta(cond.astype(jnp.float32))[:, None, :]
+        y = l2norm(x.astype(jnp.float32)) * (self.dim ** 0.5)
+        return (y * gamma + beta).astype(x.dtype)
+
+
+class MultiheadRMSNorm(nn.Module):
+    """Per-head qk RMSNorm with learned gamma, fixed sqrt(d) scale
+    (reference: attend.py:144-151)."""
+    dim_head: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, H, N, Dh]
+        gamma = self.param("gamma", nn.initializers.ones, (self.heads, 1, self.dim_head))
+        y = l2norm(x.astype(jnp.float32)) * gamma * (self.dim_head ** 0.5)
+        return y.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    """Fused-QKV multi-head attention with qk-norm + RoPE
+    (reference: attend.py:153-189, 102-139)."""
+    dim: int
+    heads: int = 16
+    dim_head: int = 64
+    qk_norm: bool = True
+    qk_norm_scale: float = 10.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, rotary: jax.Array, mask: Optional[jax.Array] = None):
+        b, n, _ = x.shape
+        h, dh = self.heads, self.dim_head
+        inner = h * dh
+
+        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv", dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (t.reshape(b, n, h, dh).transpose(0, 2, 1, 3) for t in (q, k, v))
+
+        if self.qk_norm:
+            q = MultiheadRMSNorm(dh, h, name="q_norm")(q)
+            k = MultiheadRMSNorm(dh, h, name="k_norm")(k)
+            scale = self.qk_norm_scale
+        else:
+            scale = dh ** -0.5
+
+        q = apply_rotary(rotary, q)
+        k = apply_rotary(rotary, k)
+
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                         preferred_element_type=jnp.float32) * scale
+        if mask is not None:  # key-padding mask [B, N] boolean (True = keep)
+            sim = jnp.where(mask[:, None, None, :], sim, jnp.finfo(jnp.float32).min)
+        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        return nn.Dense(self.dim, use_bias=False, name="to_out", dtype=self.dtype)(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward, inner dim int(dim*mult*2/3)
+    (reference: transformer.py:92-104)."""
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = int(self.dim * self.mult * 2 / 3)
+        xg = nn.Dense(inner * 2, name="proj_in", dtype=self.dtype)(x)
+        x_, gate = jnp.split(xg, 2, axis=-1)
+        x_ = gelu_exact(gate.astype(jnp.float32)).astype(self.dtype) * x_
+        return nn.Dense(self.dim, name="proj_out", dtype=self.dtype)(x_)
+
+
+class Transformer(nn.Module):
+    """Pre-norm transformer with adaptive RMSNorm time conditioning
+    (reference: transformer.py:108-234)."""
+    dim: int
+    depth: int
+    heads: int = 16
+    dim_head: int = 64
+    ff_mult: int = 4
+    qk_norm: bool = True
+    qk_norm_scale: float = 10.0
+    rope_theta: float = 50000.0
+    cond_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, time_emb, mask: Optional[jax.Array] = None):
+        n = x.shape[1]
+        rotary = rotary_freqs(n, self.dim_head, self.rope_theta)
+        cond_dim = self.cond_dim or self.dim
+
+        for i in range(self.depth):
+            attn_in = AdaptiveRMSNorm(self.dim, cond_dim, name=f"layers_{i}_attn_norm")(
+                x, cond=time_emb)
+            x = Attention(
+                self.dim, self.heads, self.dim_head, self.qk_norm,
+                self.qk_norm_scale, dtype=self.dtype, name=f"layers_{i}_attn",
+            )(attn_in, rotary=rotary, mask=mask) + x
+            ff_in = AdaptiveRMSNorm(self.dim, cond_dim, name=f"layers_{i}_ff_norm")(
+                x, cond=time_emb)
+            x = FeedForward(self.dim, self.ff_mult, dtype=self.dtype,
+                            name=f"layers_{i}_ff")(ff_in) + x
+
+        return RMSNorm(self.dim, name="final_norm")(x)
+
+
+class ConvPositionEmbed(nn.Module):
+    """Depthwise conv positional embedding, kernel 31 + exact GELU
+    (reference: transformer.py:16-46)."""
+    dim: int
+    kernel_size: int = 31
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None):
+        assert self.kernel_size % 2 == 1
+        if mask is not None:
+            x = jnp.where(mask[..., None], x, 0.0)
+        # depthwise conv over time, feature-last layout [B, T, C]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, 1, self.dim))  # HIO with feature groups = dim
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(1,),
+            padding=[(self.kernel_size // 2, self.kernel_size // 2)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=self.dim,
+        ) + b
+        y = gelu_exact(y.astype(jnp.float32)).astype(x.dtype)
+        if mask is not None:
+            y = jnp.where(mask[..., None], y, 0.0)
+        return y
+
+
+class LearnedSinusoidalPosEmb(nn.Module):
+    """Random learned Fourier features of the scalar ODE time
+    (reference: pos_emb.py:14-26)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):  # t: [B]
+        half = self.dim // 2
+        w = self.param("weights", nn.initializers.normal(stddev=1.0), (half,))
+        freqs = t[:, None].astype(jnp.float32) * w[None, :] * (2 * np.pi)
+        return jnp.concatenate([jnp.sin(freqs), jnp.cos(freqs)], axis=-1)

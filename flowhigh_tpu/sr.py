@@ -1,0 +1,247 @@
+"""FlowHighSR — the user-facing any-rate -> 48 kHz super-resolution API.
+
+Public surface preserved from the reference
+(reference: src/flowhigh/flowhighsr.py:21-149): ``from_pretrained`` /
+``from_local`` / ``generate(audio, sr, target_sampling_rate, timestep)`` /
+``set_cfm_method``, plus the lower-level ``sample``
+(reference: src/flowhigh/cfm_superresolution.py:162-284).
+
+TPU-native execution model: the whole low-res-wav -> high-res-wav chain —
+polyphase upsample, mel encode, cutoff search, prior, NFE-step ODE solve,
+BigVGAN vocode, spectral low-band splice — is ONE jitted XLA program per
+(bucketed length, input rate, solver config). Audio lengths are bucketed to
+1 s multiples so arbitrary clips hit a small, warm compile cache; validity
+masks ride through attention, and the final slice back to the true length is
+the only host-side step.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cfm import mel_cutoff_bins, mel_replace, odeint_fixed, sample_prior
+from .config import FlowHighConfig
+from .dsp import resample_poly
+from .models import MelVoco, VectorFieldNet, forward_with_cond_scale, mel_encode
+from .postprocessing import post_process
+
+BUCKET_SAMPLES = 48000  # 1 s @ 48 kHz — compile-cache granularity
+
+
+def _is_probably_audio(x) -> bool:
+    """(reference: cfm_superresolution.py:91-92)."""
+    return x is not None and (x.ndim == 2 or (x.ndim == 3 and x.shape[1] == 1))
+
+
+class FlowHighSR:
+    def __init__(
+        self,
+        config: FlowHighConfig = FlowHighConfig(),
+        params=None,
+        vocoder_params=None,
+        *,
+        cfm_method: Optional[str] = None,
+        sigma: Optional[float] = None,
+        ode_method: Optional[str] = None,
+        cond_drop_prob: float = 0.0,
+        upsampling_method: str = "scipy",
+    ):
+        self.config = config
+        self.cfm_method = cfm_method or config.cfm.cfm_method
+        self.sigma = config.cfm.sigma if sigma is None else sigma
+        self.ode_method = ode_method or config.cfm.ode_method
+        self.cond_drop_prob = cond_drop_prob
+        self.upsampling_method = upsampling_method
+
+        self.net = VectorFieldNet(config.model)
+        self.melvoco = MelVoco(config.mel, config.vocoder, vocoder_params)
+        self.params = params
+
+    # -- setup -----------------------------------------------------------------
+
+    def init_params(self, rng: jax.Array, frames: int = 64):
+        """Random-init both networks (for training / tests)."""
+        r1, r2 = jax.random.split(rng)
+        mel = jnp.zeros((1, frames, self.config.model.dim_in))
+        self.params = self.net.init(r1, mel, times=jnp.zeros(()), cond=mel)
+        self.melvoco.init_vocoder_params(r2, frames)
+        return self.params
+
+    def set_cfm_method(self, cfm_method: str):
+        """(reference: flowhighsr.py:104-107)."""
+        self.cfm_method = cfm_method
+
+    # -- core jitted pipeline --------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "time_steps", "cfm_method", "ode_method", "cond_scale",
+        "std_1", "std_2", "mel_pp", "decode_to_audio"))
+    def _sample_jit(
+        self, params, vocoder_params, cond_mel, rng, mask,
+        time_steps: int, cfm_method: str, ode_method: str, cond_scale: float,
+        std_1: float, std_2: float, mel_pp: bool, decode_to_audio: bool,
+    ):
+        cutoff = mel_cutoff_bins(cond_mel)
+
+        def ode_fn(t, x):
+            return forward_with_cond_scale(
+                self.net.apply, params, x, times=t, cond=cond_mel,
+                cond_scale=cond_scale, mask=mask)
+
+        y0 = sample_prior(rng, cfm_method, cond_mel, std_1, std_2, cutoff)
+        sampled = odeint_fixed(ode_fn, y0, time_steps, ode_method)
+
+        if mel_pp:
+            sampled = mel_replace(sampled, cond_mel, cutoff)
+        if not decode_to_audio:
+            return sampled
+        return self.melvoco.vocoder.apply(vocoder_params, sampled)
+
+    def sample(
+        self,
+        *,
+        cond,
+        time_steps: int = 4,
+        cond_scale: float = 1.0,
+        decode_to_audio: bool = True,
+        std_1: Optional[float] = None,
+        std_2: Optional[float] = None,
+        mel_pp: bool = False,
+        cfm_method: Optional[str] = None,
+        rng: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+    ):
+        """ODE sampling (reference: cfm_superresolution.py:162-284)."""
+        from .config import CFMConfig
+        if cfm_method not in CFMConfig.CFM_METHODS:
+            cfm_method = self.cfm_method
+        if cfm_method != "basic_cfm" and (std_1 is None or std_2 is None):
+            std_1, std_2 = 1.0, self.sigma
+        if std_1 is None:
+            std_1, std_2 = 1.0, 0.0  # unused by basic_cfm
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        cond = jnp.asarray(cond)
+        if _is_probably_audio(cond):
+            cond = mel_encode(cond.reshape(cond.shape[0], -1), self.config.mel)
+
+        return self._sample_jit(
+            self.params, self.melvoco.vocoder_params, cond, rng, mask,
+            time_steps, cfm_method, self.ode_method, float(cond_scale),
+            float(std_1), float(std_2), bool(mel_pp), bool(decode_to_audio))
+
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "in_sr", "target_sr", "time_steps", "cfm_method", "ode_method",
+        "std_1", "std_2"))
+    def _generate_jit(
+        self, params, vocoder_params, audio, n_valid, rng,
+        in_sr: int, target_sr: int, time_steps: int, cfm_method: str,
+        ode_method: str, std_1: float, std_2: float,
+    ):
+        """The whole clip pipeline as one XLA program. ``audio``: [1, T_in_pad]."""
+        hop = self.config.mel.hop_length
+        cond = resample_poly(audio, target_sr, in_sr)      # [1, T48_pad]
+        n_valid48 = n_valid * target_sr // in_sr
+
+        # peak-normalize over the valid region only
+        t48 = cond.shape[-1]
+        valid = jnp.arange(t48)[None, :] < n_valid48
+        cond = jnp.where(valid, cond, 0.0)
+        cond = cond / jnp.max(jnp.abs(cond))
+
+        cond_mel = mel_encode(cond, self.config.mel)       # [1, F, 256]
+        n_frames = cond_mel.shape[1]
+        frame_mask = jnp.arange(n_frames)[None, :] < (
+            (n_valid48 + hop - 1) // hop)
+
+        cutoff = mel_cutoff_bins(cond_mel)
+
+        def ode_fn(t, x):
+            return forward_with_cond_scale(
+                self.net.apply, params, x, times=t, cond=cond_mel,
+                cond_scale=1.0, mask=frame_mask)
+
+        y0 = sample_prior(rng, cfm_method, cond_mel, std_1, std_2, cutoff)
+        sampled = odeint_fixed(ode_fn, y0, time_steps, ode_method)
+        hr = self.melvoco.vocoder.apply(vocoder_params, sampled)  # [1, F*hop]
+
+        # length-align vocoded audio with the upsampled source
+        t_out = min(hr.shape[-1], t48)
+        hr = jnp.where(jnp.arange(t_out)[None, :] < n_valid48, hr[..., :t_out], 0.0)
+        src = cond[..., :t_out]
+        out = post_process(hr, src, t_out)
+        return out, n_valid48
+
+    def generate(
+        self,
+        audio: np.ndarray,
+        sr: int,
+        target_sampling_rate: int = 48000,
+        timestep: int = 1,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """[T] or [1, T] numpy waveform at ``sr`` -> [1, T'] at 48 kHz
+        (reference: flowhighsr.py:51-102)."""
+        audio = np.asarray(audio)
+        if audio.ndim == 2:
+            audio = audio[0]
+        if np.abs(audio).max() > 1:
+            audio = audio / 32768.0
+
+        n = len(audio)
+        # bucket the input so the 48 kHz length lands on 1 s multiples
+        in_bucket = BUCKET_SAMPLES * sr // target_sampling_rate
+        n_pad = max(in_bucket, math.ceil(n / in_bucket) * in_bucket)
+        padded = np.zeros(n_pad, dtype=np.float32)
+        padded[:n] = audio
+
+        std_1, std_2 = 1.0, self.sigma
+        if self.cfm_method == "independent_cfm_adaptive":
+            std_2 = 1.0  # (reference: flowhighsr.py:92)
+
+        out, n48 = self._generate_jit(
+            self.params, self.melvoco.vocoder_params,
+            jnp.asarray(padded)[None, :], jnp.asarray(n), jax.random.PRNGKey(seed),
+            int(sr), int(target_sampling_rate), int(timestep),
+            self.cfm_method, self.ode_method, float(std_1), float(std_2))
+        n48 = int(n48)
+        return np.asarray(out)[:, :n48]
+
+    # -- checkpoint loading ----------------------------------------------------
+
+    @classmethod
+    def from_local(cls, ckpt_dir, device=None,
+                   model_file: str = "FLowHigh_basic_400k.pt",
+                   cfm_method: Optional[str] = None) -> "FlowHighSR":
+        """Load the published PyTorch checkpoint layout from a directory
+        (reference: flowhighsr.py:109-137)."""
+        from .compat.torch_ckpt import load_flowhigh_checkpoint
+        return load_flowhigh_checkpoint(Path(ckpt_dir), model_file, cfm_method)
+
+    @classmethod
+    def from_pretrained(cls, device=None) -> "FlowHighSR":
+        """Fetch ResembleAI/FlowHigh from the HF hub then from_local
+        (reference: flowhighsr.py:139-149). Requires network access."""
+        try:
+            from huggingface_hub import hf_hub_download
+        except ImportError as e:
+            raise RuntimeError(
+                "huggingface_hub is unavailable; download the checkpoint files "
+                "manually and use FlowHighSR.from_local(ckpt_dir)") from e
+        local = None
+        for fpath in [
+            "FLowHigh_basic_400k.json",
+            "bigvgan_48khz_256band.json",
+            "FLowHigh_basic_400k.pt",
+            "bigvgan_48khz_256band.pt",
+        ]:
+            local = hf_hub_download(repo_id="ResembleAI/FlowHigh", filename=fpath)
+        return cls.from_local(Path(local).parent)

@@ -1,0 +1,143 @@
+"""End-to-end FlowHighSR API tests (tiny random-weight models) + spectral
+post-processing parity vs a torch transcription of the reference splice."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from flowhigh_tpu import FlowHighConfig, FlowHighSR, MelConfig, ModelConfig, VocoderConfig
+from flowhigh_tpu.compat import map_model_state_dict, params_to_torch_state
+from flowhigh_tpu.postprocessing import post_process
+
+TINY = FlowHighConfig().replace(
+    model=ModelConfig(dim_in=256, dim=64, depth=2, heads=2, dim_head=16),
+    vocoder=VocoderConfig(
+        num_mels=256, upsample_initial_channel=32,
+        upsample_rates=(8, 5, 4, 3), upsample_kernel_sizes=(16, 10, 8, 6),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    ),
+)
+
+
+def _torch_postproc(pred, src, length, threshold=0.99):
+    """Transcription of the reference splice (postprocessing.py:10-41)."""
+    win = torch.hann_window(2048)
+    def stft(x):
+        return torch.stft(torch.from_numpy(x), 2048, 480, 2048, window=win,
+                          center=True, pad_mode="constant", return_complex=True)
+    sp, ss = stft(pred), stft(src)
+    t = min(sp.shape[-1], ss.shape[-1])
+    sp, ss = sp[..., :t], ss[..., :t]
+    energy = torch.cumsum(ss.squeeze(0).abs().sum(dim=-1), dim=0)
+    thr = energy[-1] * threshold
+    cr = 0
+    for i in range(1, energy.shape[0]):
+        if energy[-i] < thr:
+            cr = energy.shape[0] - i
+            break
+    out = sp.clone()
+    out[:, :cr, :] = ss[:, :cr, :]
+    audio = torch.istft(out, 2048, 480, 2048, window=win, length=length)
+    return (audio / audio.abs().max() * 0.99).numpy()
+
+
+class TestPostProcess:
+    def test_matches_reference_splice(self, rng):
+        t_len = 48000
+        # band-limited "source" + full-band "prediction"
+        n = np.arange(t_len) / 48000
+        src = np.sin(2 * np.pi * 800 * n).astype(np.float32) * 0.5
+        pred = (np.sin(2 * np.pi * 800 * n) * 0.5
+                + np.sin(2 * np.pi * 18000 * n) * 0.1).astype(np.float32)
+        ref = _torch_postproc(pred[None], src[None], t_len)
+        got = np.asarray(post_process(jnp.asarray(pred)[None], jnp.asarray(src)[None], t_len))
+        np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    def test_low_band_preserved(self, rng):
+        t_len = 24000
+        n = np.arange(t_len) / 48000
+        src = np.sin(2 * np.pi * 440 * n).astype(np.float32)
+        pred = rng.standard_normal(t_len).astype(np.float32) * 0.1
+        out = np.asarray(post_process(jnp.asarray(pred)[None], jnp.asarray(src)[None], t_len))[0]
+        # low band of output should correlate strongly with the source tone
+        c = np.corrcoef(out[2048:-2048], src[2048:-2048])[0, 1]
+        assert abs(c) > 0.8
+
+
+@pytest.fixture(scope="module")
+def tiny_sr():
+    sr = FlowHighSR(TINY, cfm_method="independent_cfm_adaptive", ode_method="euler")
+    sr.init_params(jax.random.PRNGKey(0))
+    return sr
+
+
+class TestFlowHighSR:
+    def test_generate_16k_to_48k(self, tiny_sr, rng):
+        audio = (rng.standard_normal(16000) * 0.3).astype(np.float32)  # 1 s @ 16 kHz
+        out = tiny_sr.generate(audio, sr=16000, timestep=1)
+        assert out.shape == (1, 48000)
+        assert np.abs(out).max() <= 1.0
+        assert np.isfinite(out).all()
+
+    def test_generate_int16_input(self, tiny_sr, rng):
+        audio = (rng.standard_normal(8000) * 8000).astype(np.float32)  # int16 scale
+        out = tiny_sr.generate(audio, sr=8000, timestep=1)
+        assert out.shape == (1, 48000)
+
+    def test_generate_non_bucket_length(self, tiny_sr, rng):
+        audio = (rng.standard_normal(20123) * 0.3).astype(np.float32)
+        out = tiny_sr.generate(audio, sr=16000, timestep=1)
+        assert out.shape == (1, 20123 * 3)
+
+    @pytest.mark.parametrize("method", ["basic_cfm", "independent_cfm_adaptive",
+                                        "independent_cfm_constant", "independent_cfm_mix"])
+    def test_all_cfm_methods(self, tiny_sr, rng, method):
+        tiny_sr.set_cfm_method(method)
+        audio = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+        out = tiny_sr.generate(audio, sr=16000, timestep=1)
+        assert np.isfinite(out).all()
+        tiny_sr.set_cfm_method("independent_cfm_adaptive")
+
+    def test_sample_mel_only(self, tiny_sr, rng):
+        cond = jnp.asarray(rng.standard_normal((1, 50, 256)).astype(np.float32))
+        mel = tiny_sr.sample(cond=cond, time_steps=2, decode_to_audio=False,
+                             rng=jax.random.PRNGKey(1))
+        assert mel.shape == (1, 50, 256)
+
+    def test_sample_decodes_audio(self, tiny_sr, rng):
+        cond = jnp.asarray(rng.standard_normal((1, 20, 256)).astype(np.float32))
+        wav = tiny_sr.sample(cond=cond, time_steps=1, rng=jax.random.PRNGKey(1))
+        # torch ConvTranspose1d length arithmetic per stage: (T-1)*u - 2p + k
+        t = 20
+        voc = TINY.vocoder
+        for u, k in zip(voc.upsample_rates, voc.upsample_kernel_sizes):
+            t = (t - 1) * u - 2 * ((k - u) // 2) + k
+        assert wav.shape == (1, t)
+
+    def test_determinism(self, tiny_sr, rng):
+        audio = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+        a = tiny_sr.generate(audio, sr=16000, timestep=1, seed=7)
+        b = tiny_sr.generate(audio, sr=16000, timestep=1, seed=7)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestCheckpointRoundTrip:
+    def test_export_import_identity(self, rng):
+        cfg = ModelConfig(dim_in=8, dim=16, depth=2, heads=2, dim_head=4)
+        from flowhigh_tpu.models import VectorFieldNet
+        net = VectorFieldNet(cfg)
+        x = jnp.zeros((1, 4, 8))
+        params = net.init(jax.random.PRNGKey(0), x, times=jnp.zeros(()), cond=x)
+        sd = params_to_torch_state(params, cfg)
+        params2 = map_model_state_dict(sd, cfg)
+
+        flat1, _ = jax.tree_util.tree_flatten_with_path(params)
+        flat2, _ = jax.tree_util.tree_flatten_with_path(params2)
+        assert len(flat1) == len(flat2)
+        for (p1, v1), (p2, v2) in zip(sorted(flat1, key=lambda kv: str(kv[0])),
+                                      sorted(flat2, key=lambda kv: str(kv[0]))):
+            assert str(p1) == str(p2)
+            np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-7)

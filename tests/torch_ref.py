@@ -1,0 +1,340 @@
+"""Minimal torch implementation of the reference model math, used ONLY to
+generate golden outputs + reference-layout state dicts for parity tests.
+
+Written from the documented formulas in SURVEY.md (flow.py / transformer.py /
+attend.py / pos_emb.py / bigvgan call stacks) — independent code, matching
+state-dict key layout so the compat mapper is exercised end to end.
+"""
+
+import math
+
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+
+def l2norm(x):
+    return F.normalize(x, dim=-1)
+
+
+class LearnedSinusoidalPosEmb(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.weights = nn.Parameter(torch.randn(dim // 2))
+
+    def forward(self, t):
+        freqs = t[:, None] * self.weights[None, :] * 2 * math.pi
+        return torch.cat([freqs.sin(), freqs.cos()], dim=-1)
+
+
+class ConvPositionEmbed(nn.Module):
+    def __init__(self, dim, kernel_size=31):
+        super().__init__()
+        self.dw_conv1d = nn.Sequential(
+            nn.Conv1d(dim, dim, kernel_size, groups=dim, padding=kernel_size // 2),
+            nn.GELU(),
+        )
+
+    def forward(self, x):
+        return self.dw_conv1d(x.transpose(1, 2)).transpose(1, 2)
+
+
+class RMSNorm(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.scale = dim ** 0.5
+        self.gamma = nn.Parameter(torch.ones(dim))
+
+    def forward(self, x):
+        return l2norm(x) * self.scale * self.gamma
+
+
+class AdaptiveRMSNorm(nn.Module):
+    def __init__(self, dim, cond_dim):
+        super().__init__()
+        self.scale = dim ** 0.5
+        self.to_gamma = nn.Linear(cond_dim, dim)
+        self.to_beta = nn.Linear(cond_dim, dim)
+        nn.init.zeros_(self.to_gamma.weight)
+        nn.init.ones_(self.to_gamma.bias)
+        nn.init.zeros_(self.to_beta.weight)
+        nn.init.zeros_(self.to_beta.bias)
+
+    def forward(self, x, cond):
+        g, b = self.to_gamma(cond)[:, None, :], self.to_beta(cond)[:, None, :]
+        return l2norm(x) * self.scale * g + b
+
+
+class MultiheadRMSNorm(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.scale = dim ** 0.5
+        self.gamma = nn.Parameter(torch.ones(heads, 1, dim))
+
+    def forward(self, x):
+        return l2norm(x) * self.gamma * self.scale
+
+
+def rotary_freqs(n, dim_head, theta=50000.0):
+    inv = 1.0 / (theta ** (torch.arange(0, dim_head, 2).float() / dim_head))
+    f = torch.einsum("i,j->ij", torch.arange(n).float(), inv)
+    return torch.cat([f, f], dim=-1)
+
+
+def rotate_half(x):
+    x1, x2 = x.chunk(2, dim=-1)
+    return torch.cat([-x2, x1], dim=-1)
+
+
+def apply_rotary(pos, t):
+    return t * pos.cos() + rotate_half(t) * pos.sin()
+
+
+class Attention(nn.Module):
+    def __init__(self, dim, dim_head, heads, qk_norm=True, qk_norm_scale=10.0):
+        super().__init__()
+        self.heads = heads
+        self.dim_head = dim_head
+        inner = dim_head * heads
+        self.scale = qk_norm_scale if qk_norm else dim_head ** -0.5
+        self.qk_norm = qk_norm
+        if qk_norm:
+            self.q_norm = MultiheadRMSNorm(dim_head, heads)
+            self.k_norm = MultiheadRMSNorm(dim_head, heads)
+        self.to_qkv = nn.Linear(dim, inner * 3, bias=False)
+        self.to_out = nn.Linear(inner, dim, bias=False)
+
+    def forward(self, x, rotary):
+        b, n, _ = x.shape
+        q, k, v = self.to_qkv(x).chunk(3, dim=-1)
+        q, k, v = (t.view(b, n, self.heads, self.dim_head).transpose(1, 2)
+                   for t in (q, k, v))
+        if self.qk_norm:
+            q, k = self.q_norm(q), self.k_norm(k)
+        q, k = apply_rotary(rotary, q), apply_rotary(rotary, k)
+        sim = torch.einsum("bhid,bhjd->bhij", q, k) * self.scale
+        attn = sim.softmax(dim=-1)
+        out = torch.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(1, 2).reshape(b, n, -1)
+        return self.to_out(out)
+
+
+class GEGLU(nn.Module):
+    def forward(self, x):
+        x, gate = x.chunk(2, dim=-1)
+        return F.gelu(gate) * x
+
+
+def feed_forward(dim, mult=4):
+    inner = int(dim * mult * 2 / 3)
+    return nn.Sequential(
+        nn.Linear(dim, inner * 2), GEGLU(), nn.Dropout(0.0), nn.Linear(inner, dim))
+
+
+class Transformer(nn.Module):
+    def __init__(self, dim, depth, dim_head, heads, ff_mult=4):
+        super().__init__()
+        self.dim_head = dim_head
+        self.layers = nn.ModuleList()
+        for _ in range(depth):
+            self.layers.append(nn.ModuleList([
+                nn.Identity(), nn.Identity(),
+                AdaptiveRMSNorm(dim, dim),
+                Attention(dim, dim_head, heads),
+                AdaptiveRMSNorm(dim, dim),
+                feed_forward(dim, ff_mult),
+            ]))
+        self.final_norm = RMSNorm(dim)
+
+    def forward(self, x, t_emb):
+        rot = rotary_freqs(x.shape[1], self.dim_head)
+        for _, _, attn_norm, attn, ff_norm, ff in self.layers:
+            x = attn(attn_norm(x, t_emb), rot) + x
+            x = ff(ff_norm(x, t_emb)) + x
+        return self.final_norm(x)
+
+
+class TorchFLowHigh(nn.Module):
+    """Reference-layout vector-field net (state dict keys match flow.py)."""
+
+    def __init__(self, dim_in=8, dim=16, depth=2, dim_head=4, heads=2):
+        super().__init__()
+        self.sinu_pos_emb = nn.Sequential(
+            LearnedSinusoidalPosEmb(dim), nn.Linear(dim, dim), nn.SiLU())
+        self.to_embed = nn.Linear(dim_in * 2, dim)
+        self.null_cond = nn.Parameter(torch.zeros(dim_in), requires_grad=False)
+        self.conv_embed = ConvPositionEmbed(dim)
+        self.transformer = Transformer(dim, depth, dim_head, heads)
+        self.to_pred = nn.Linear(dim, dim_in, bias=False)
+
+    def forward(self, x, times, cond, drop_cond=False):
+        if drop_cond:
+            cond = self.null_cond.expand_as(cond)
+        h = self.to_embed(torch.cat([x, cond], dim=-1))
+        h = self.conv_embed(h) + h
+        t_emb = self.sinu_pos_emb(times)
+        h = self.transformer(h, t_emb)
+        return self.to_pred(h)
+
+
+class TorchCFMWrapper(nn.Module):
+    """Adds the ``flowhigh.`` state-dict prefix of the checkpoint layout."""
+
+    def __init__(self, **kw):
+        super().__init__()
+        self.flowhigh = TorchFLowHigh(**kw)
+
+
+# --- BigVGAN replica -----------------------------------------------------------
+
+def kaiser_sinc_filter1d(cutoff, half_width, kernel_size):
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+    delta_f = 4 * half_width
+    a = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
+    if a > 50.0:
+        beta = 0.1102 * (a - 8.7)
+    elif a >= 21.0:
+        beta = 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21.0)
+    else:
+        beta = 0.0
+    window = torch.kaiser_window(kernel_size, beta=beta, periodic=False)
+    if even:
+        time = torch.arange(-half_size, half_size) + 0.5
+    else:
+        time = torch.arange(kernel_size) - half_size
+    filt = 2 * cutoff * window * torch.sinc(2 * cutoff * time)
+    filt /= filt.sum()
+    return filt.view(1, 1, kernel_size)
+
+
+class UpSample1d(nn.Module):
+    def __init__(self, ratio=2, kernel_size=12):
+        super().__init__()
+        self.ratio = ratio
+        self.kernel_size = kernel_size
+        self.stride = ratio
+        self.pad = kernel_size // ratio - 1
+        self.pad_left = self.pad * self.stride + (kernel_size - self.stride) // 2
+        self.pad_right = self.pad * self.stride + (kernel_size - self.stride + 1) // 2
+        self.register_buffer("filter", kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size))
+
+    def forward(self, x):
+        c = x.shape[1]
+        x = F.pad(x, (self.pad, self.pad), mode="replicate")
+        x = self.ratio * F.conv_transpose1d(
+            x, self.filter.expand(c, -1, -1), stride=self.stride, groups=c)
+        return x[..., self.pad_left:-self.pad_right]
+
+
+class DownSample1d(nn.Module):
+    def __init__(self, ratio=2, kernel_size=12):
+        super().__init__()
+        even = kernel_size % 2 == 0
+        self.pad_left = kernel_size // 2 - int(even)
+        self.pad_right = kernel_size // 2
+        self.ratio = ratio
+        self.register_buffer("filter", kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size))
+
+    def forward(self, x):
+        c = x.shape[1]
+        x = F.pad(x, (self.pad_left, self.pad_right), mode="replicate")
+        return F.conv1d(x, self.filter.expand(c, -1, -1), stride=self.ratio, groups=c)
+
+
+class SnakeBeta(nn.Module):
+    def __init__(self, channels, logscale=True):
+        super().__init__()
+        init = torch.zeros if logscale else torch.ones
+        self.alpha = nn.Parameter(init(channels))
+        self.beta = nn.Parameter(init(channels))
+        self.logscale = logscale
+
+    def forward(self, x):
+        a = self.alpha[None, :, None]
+        b = self.beta[None, :, None]
+        if self.logscale:
+            a, b = a.exp(), b.exp()
+        return x + (1.0 / (b + 1e-9)) * torch.sin(x * a) ** 2
+
+
+class Activation1d(nn.Module):
+    def __init__(self, channels, logscale=True):
+        super().__init__()
+        self.upsample = UpSample1d(2, 12)
+        self.act = SnakeBeta(channels, logscale)
+        self.downsample = DownSample1d(2, 12)
+
+    def forward(self, x):
+        return self.downsample(self.act(self.upsample(x)))
+
+
+def wn(m):
+    return nn.utils.parametrizations.weight_norm(m) if hasattr(
+        nn.utils.parametrizations, "weight_norm_") else nn.utils.weight_norm(m)
+
+
+class AMPBlock1(nn.Module):
+    def __init__(self, channels, kernel_size, dilations):
+        super().__init__()
+        self.convs1 = nn.ModuleList([
+            wn(nn.Conv1d(channels, channels, kernel_size, 1, dilation=d,
+                         padding=(kernel_size * d - d) // 2)) for d in dilations])
+        self.convs2 = nn.ModuleList([
+            wn(nn.Conv1d(channels, channels, kernel_size, 1,
+                         padding=(kernel_size - 1) // 2)) for _ in dilations])
+        self.activations = nn.ModuleList(
+            [Activation1d(channels) for _ in range(2 * len(dilations))])
+
+    def forward(self, x):
+        a1s, a2s = self.activations[::2], self.activations[1::2]
+        for c1, c2, a1, a2 in zip(self.convs1, self.convs2, a1s, a2s):
+            xt = a1(x)
+            xt = c1(xt)
+            xt = a2(xt)
+            xt = c2(xt)
+            x = xt + x
+        return x
+
+
+class TorchBigVGAN(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.num_kernels = len(cfg.resblock_kernel_sizes)
+        ch = cfg.upsample_initial_channel
+        self.conv_pre = wn(nn.Conv1d(cfg.num_mels, ch, 7, 1, padding=3))
+        self.ups = nn.ModuleList()
+        self.resblocks = nn.ModuleList()
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            cin = cfg.upsample_initial_channel // (2 ** i)
+            cout = cfg.upsample_initial_channel // (2 ** (i + 1))
+            self.ups.append(nn.ModuleList([
+                wn(nn.ConvTranspose1d(cin, cout, k, u, padding=(k - u) // 2))]))
+            for rk, rd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+                self.resblocks.append(AMPBlock1(cout, rk, rd))
+        self.activation_post = Activation1d(cout)
+        self.conv_post = wn(nn.Conv1d(cout, 1, 7, 1, padding=3))
+
+    def forward(self, x):  # x: [B, n_mels, T]
+        x = self.conv_pre(x)
+        for i in range(len(self.ups)):
+            x = self.ups[i][0](x)
+            xs = None
+            for j in range(self.num_kernels):
+                y = self.resblocks[i * self.num_kernels + j](x)
+                xs = y if xs is None else xs + y
+            x = xs / self.num_kernels
+        x = self.activation_post(x)
+        x = self.conv_post(x)
+        return torch.tanh(x)
+
+
+def torch_state_dict_weight_normed(model):
+    """state dict with weight_g/weight_v keys (old-style naming), matching the
+    published vocoder checkpoint layout."""
+    sd = {}
+    for k, v in model.state_dict().items():
+        k = (k.replace("parametrizations.weight.original0", "weight_g")
+              .replace("parametrizations.weight.original1", "weight_v"))
+        sd[k] = v
+    return sd
