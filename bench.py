@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end FlowHighSR.generate real-time factor.
+
+Runs on whatever platform JAX picks (the real TPU chip under the driver).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config #1 of BASELINE.json: single 10 s clip, 16 kHz -> 48 kHz,
+transformer / independent_cfm_adaptive / euler / time_step=1, the full
+pipeline (resample, mel, CFM solve, BigVGAN, spectral splice) as one XLA
+program. The reference publishes no numbers (BASELINE.md); the driver's
+north star is >50x real time per chip, so vs_baseline = RTF / 50.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from flowhigh_tpu import FlowHighConfig, FlowHighSR
+
+    seconds = 10.0
+    in_sr = 16000
+    reps = 5
+
+    sr = FlowHighSR(FlowHighConfig(), cfm_method="independent_cfm_adaptive",
+                    ode_method="euler")
+    sr.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(in_sr * seconds)) / in_sr
+    audio = (0.5 * np.sin(2 * np.pi * 220 * t)
+             + 0.2 * np.sin(2 * np.pi * 880 * t)
+             + 0.01 * rng.standard_normal(t.shape)).astype(np.float32)
+
+    # warm-up / compile
+    out = sr.generate(audio, sr=in_sr, timestep=1)
+    assert np.isfinite(out).all()
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = sr.generate(audio, sr=in_sr, timestep=1)
+    dt = (time.perf_counter() - t0) / reps
+
+    rtf = seconds / dt
+    print(json.dumps({
+        "metric": "generate_rtf_16k_to_48k_10s_euler1",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

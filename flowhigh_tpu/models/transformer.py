@@ -25,9 +25,13 @@ import numpy as np
 
 
 def l2norm(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    """torch.nn.functional.normalize parity: x / max(||x||2, eps)."""
-    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
-    return x / jnp.maximum(n, eps)
+    """torch.nn.functional.normalize parity: x / max(||x||2, eps).
+
+    Written as rsqrt(max(ss, eps^2)) so the gradient at all-zero rows (padded
+    frames) is finite — d/dx sqrt(x) at 0 is inf and poisons the backward pass.
+    """
+    ss = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(ss, eps * eps))
 
 
 def gelu_exact(x: jax.Array) -> jax.Array:

@@ -1,0 +1,12 @@
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    param_shardings,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh", "batch_sharding", "replicated_sharding", "param_shardings",
+    "shard_batch",
+]

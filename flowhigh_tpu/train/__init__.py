@@ -1,0 +1,9 @@
+from .optimizer import make_optimizer, lr_schedule
+from .data import AudioDataset, SyntheticAudioDataset, batch_iterator
+from .trainer import Trainer, TrainState
+
+__all__ = [
+    "make_optimizer", "lr_schedule",
+    "AudioDataset", "SyntheticAudioDataset", "batch_iterator",
+    "Trainer", "TrainState",
+]

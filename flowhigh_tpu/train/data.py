@@ -1,0 +1,180 @@
+"""Training data pipeline: on-the-fly degradation on host workers.
+
+The reference degrades each clip inside dataloader workers — random target
+rate in {4k..32k step 1k}, random Chebyshev-I order 1-11 / ripple from a
+fixed set (train) or order 8 / ripple 0.05 (valid), sosfiltfilt, down+up
+resample_poly, length-matched (reference: src/flowhigh/train/data.py:92-131).
+Filter design is data-dependent per clip, so this stays host-side (like the
+reference's 8 numpy workers); batches prefetch to device asynchronously.
+
+WAV IO uses scipy (librosa/torchaudio are not available in this image); a
+synthetic dataset generates harmonic clips for tests and data-free benches.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from pathlib import Path
+from typing import Iterator, Optional
+
+import numpy as np
+import scipy.io.wavfile as wavfile
+
+from ..config import DataConfig
+from ..dsp.filters import host_degrade
+
+RIPPLES = (1e-9, 1e-6, 1e-3, 1, 5)  # (reference: data.py:109)
+
+
+def load_wav_mono(path) -> tuple[np.ndarray, int]:
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        wave = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        wave = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        wave = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        wave = data.astype(np.float32)
+    if wave.ndim == 2:
+        wave = wave.mean(axis=1)
+    return wave, sr
+
+
+class AudioDataset:
+    """Glob **/*.wav + per-item degradation (reference: data.py:23-131)."""
+
+    def __init__(self, folder, cfg: DataConfig = DataConfig(), mode: Optional[str] = None,
+                 audio_extension: str = ".wav"):
+        path = Path(folder)
+        assert path.exists(), "folder does not exist"
+        self.files = sorted(path.glob(f"**/*{audio_extension}"))
+        assert len(self.files) > 0, "no files found"
+        self.cfg = cfg
+        self.mode = mode
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int):
+        rng = np.random.default_rng()
+        wave, sr = load_wav_mono(self.files[idx])
+        return degrade_item(wave, sr, self.cfg, self.mode, rng)
+
+
+def degrade_item(wave: np.ndarray, sr: int, cfg: DataConfig, mode: Optional[str],
+                 rng: np.random.Generator) -> dict:
+    wave = wave / (np.abs(wave).max() + 1e-12)
+    rates = np.arange(cfg.downsample_min, cfg.downsample_max + cfg.downsample_step,
+                      cfg.downsample_step)
+    random_sr = int(rng.choice(rates))
+    if mode == "valid":
+        order, ripple = 8, 0.05
+    else:
+        order = int(rng.integers(1, 12))
+        ripple = float(rng.choice(RIPPLES))
+    cond = host_degrade(wave.astype(np.float64), sr, random_sr, order, ripple)
+    return {
+        "wave": wave.astype(np.float32),
+        "length": len(wave),
+        "cond": cond.astype(np.float32),
+        "random_sr": random_sr,
+    }
+
+
+class SyntheticAudioDataset:
+    """Data-free stand-in: random harmonic complexes at 48 kHz. Same item
+    schema as AudioDataset, for tests/benches without a corpus."""
+
+    def __init__(self, cfg: DataConfig = DataConfig(), n_items: int = 64,
+                 seconds: float = 3.0, seed: int = 0, mode: Optional[str] = None):
+        self.cfg = cfg
+        self.n_items = n_items
+        self.seconds = seconds
+        self.seed = seed
+        self.mode = mode
+
+    def __len__(self):
+        return self.n_items
+
+    def __getitem__(self, idx: int):
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        sr = self.cfg.sampling_rate
+        n = int(sr * self.seconds)
+        t = np.arange(n) / sr
+        f0 = rng.uniform(80, 300)
+        wave = np.zeros(n)
+        for k in range(1, 12):
+            if f0 * k < sr / 2:
+                wave += rng.uniform(0.2, 1.0) / k * np.sin(
+                    2 * np.pi * f0 * k * t + rng.uniform(0, 2 * np.pi))
+        wave += 0.01 * rng.standard_normal(n)
+        return degrade_item(wave.astype(np.float32), sr, self.cfg, self.mode, rng)
+
+
+def collate(items: list[dict], pad_to_longest: bool = True) -> dict:
+    """Pad-to-longest collate (reference: data.py:136-167)."""
+    if pad_to_longest:
+        t = max(it["length"] for it in items)
+    else:
+        t = min(it["length"] for it in items)
+    b = len(items)
+    wave = np.zeros((b, t), np.float32)
+    cond = np.zeros((b, t), np.float32)
+    for i, it in enumerate(items):
+        n = min(it["length"], t)
+        wave[i, :n] = it["wave"][:n]
+        cond[i, :n] = it["cond"][:n]
+    return {
+        "wave": wave,
+        "cond": cond,
+        "lengths": np.array([min(it["length"], t) for it in items], np.int32),
+        "random_sr": np.array([it["random_sr"] for it in items], np.int32),
+    }
+
+
+def batch_iterator(
+    ds, batch_size: int, seed: int = 0, pad_to: Optional[int] = None,
+    num_workers: int = 2, prefetch: int = 4,
+) -> Iterator[dict]:
+    """Infinite shuffled batches with threaded host-side prefetch.
+
+    ``pad_to``: optionally pad/crop every batch to a fixed sample count so the
+    jitted train step sees ONE static shape (no recompiles, the TPU idiom).
+    """
+    def make_batch(rng: np.random.Generator) -> dict:
+        idx = rng.choice(len(ds), size=batch_size, replace=len(ds) < batch_size)
+        items = [ds[int(i)] for i in idx]
+        if pad_to is not None:
+            for it in items:
+                n = len(it["wave"])
+                if n >= pad_to:
+                    it["wave"] = it["wave"][:pad_to]
+                    it["cond"] = it["cond"][:pad_to]
+                    it["length"] = pad_to
+                else:
+                    it["wave"] = np.pad(it["wave"], (0, pad_to - n))
+                    it["cond"] = np.pad(it["cond"], (0, pad_to - n))
+        return collate(items)
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def worker(wid: int):
+        rng = np.random.default_rng(seed * 7919 + wid)  # per-thread generator
+        while not stop.is_set():
+            try:
+                q.put(make_batch(rng), timeout=1.0)
+            except queue.Full:
+                continue
+
+    threads = [threading.Thread(target=worker, args=(i,), daemon=True)
+               for i in range(max(1, num_workers))]
+    for th in threads:
+        th.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()
