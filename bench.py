@@ -19,7 +19,16 @@ import numpy as np
 
 
 def main():
+    import pathlib
+
     import jax
+
+    # persistent compile cache: the full fused pipeline takes minutes to
+    # compile cold on TPU; warm runs load in seconds.
+    cache = pathlib.Path(__file__).parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from flowhigh_tpu import FlowHighConfig, FlowHighSR
 
@@ -29,7 +38,7 @@ def main():
 
     sr = FlowHighSR(FlowHighConfig(), cfm_method="independent_cfm_adaptive",
                     ode_method="euler")
-    sr.init_params(jax.random.PRNGKey(0))
+    sr.init_params(jax.random.PRNGKey(0), fast=True)
 
     rng = np.random.default_rng(0)
     t = np.arange(int(in_sr * seconds)) / in_sr

@@ -1,0 +1,187 @@
+"""Command-line interface.
+
+Covers the reference's user-facing script surface: the documented argparse
+inference CLI (reference: README.md:69-78 — flags --time_step --ode_method
+--cfm_method --sigma --architecture --n_layers --vocoder_path), the training
+entry (reference: src/flowhigh/train/train.py:25-103) and the standalone
+BigVGAN dir-of-wavs vocoder inference
+(reference: src/flowhigh/models/bigvgan/inference.py:42-99).
+
+Usage:
+    python -m flowhigh_tpu.cli infer   --input in.wav --output out.wav ...
+    python -m flowhigh_tpu.cli train   --config configs/config.json
+    python -m flowhigh_tpu.cli vocoder --input_dir wavs/ --output_dir out/ ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _write_wav(path, sr, audio: np.ndarray):
+    import scipy.io.wavfile as wavfile
+    audio = np.clip(audio, -1.0, 1.0)
+    wavfile.write(path, sr, (audio * 32767).astype(np.int16))
+
+
+def cmd_infer(args) -> int:
+    import jax
+
+    from .sr import FlowHighSR
+    from .streaming import StreamingSR
+    from .train.data import load_wav_mono
+
+    if args.ckpt_dir:
+        model = FlowHighSR.from_local(
+            args.ckpt_dir, model_file=args.model_file, cfm_method=args.cfm_method)
+    else:
+        print("[infer] no --ckpt_dir given: using random weights (smoke mode)")
+        from .config import FlowHighConfig, ModelConfig, VocoderConfig
+        cfg = FlowHighConfig()
+        if args.tiny:
+            cfg = cfg.replace(
+                model=ModelConfig(dim_in=256, dim=64, depth=args.n_layers,
+                                  heads=2, dim_head=16,
+                                  architecture=args.architecture),
+                vocoder=VocoderConfig(
+                    num_mels=256, upsample_initial_channel=32,
+                    upsample_rates=(8, 5, 4, 3), upsample_kernel_sizes=(16, 10, 8, 6),
+                    resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),)))
+        model = FlowHighSR(cfg, cfm_method=args.cfm_method,
+                           ode_method=args.ode_method, sigma=args.sigma)
+        model.init_params(jax.random.PRNGKey(0), fast=not args.tiny)
+    model.ode_method = args.ode_method
+    model.sigma = args.sigma
+
+    audio, sr = load_wav_mono(args.input)
+    if args.streaming or len(audio) > 30 * sr:
+        out = StreamingSR(model).generate(audio, sr, timestep=args.time_step)
+    else:
+        out = model.generate(audio, sr, timestep=args.time_step)
+    _write_wav(args.output, 48000, out[0])
+    print(f"[infer] {args.input} ({sr} Hz) -> {args.output} (48000 Hz), "
+          f"{out.shape[-1] / 48000:.2f} s")
+    return 0
+
+
+def cmd_train(args) -> int:
+    import jax
+
+    from .config import FlowHighConfig
+    from .parallel import make_mesh
+    from .train import AudioDataset, SyntheticAudioDataset, Trainer, batch_iterator
+
+    cfg = (FlowHighConfig.from_reference_json(args.config)
+           if args.config else FlowHighConfig())
+    if args.steps:
+        cfg = cfg.replace(train=cfg.train.__class__(
+            **{**cfg.train.__dict__, "num_train_steps": args.steps}))
+
+    if cfg.data.data_path and Path(cfg.data.data_path).exists():
+        ds = AudioDataset(cfg.data.data_path, cfg.data)
+    else:
+        print("[train] data_path missing: using synthetic corpus")
+        ds = SyntheticAudioDataset(cfg.data, n_items=256, seconds=3.0)
+
+    mesh = make_mesh(n_model=args.tp) if args.tp > 1 else make_mesh()
+    trainer = Trainer(cfg, mesh=mesh, cfm_method=cfg.cfm.cfm_method,
+                      results_folder=args.save_dir or cfg.train.save_dir)
+    data = batch_iterator(ds, cfg.train.batch_size,
+                          pad_to=cfg.data.sampling_rate * 3)
+    state = None
+    if args.resume:
+        params = trainer.load_params(args.resume)
+        state = trainer.init_state(jax.random.PRNGKey(cfg.train.random_seed))
+        state = state.replace(params=params)
+    trainer.fit(data, state=state)
+    return 0
+
+
+def cmd_vocoder(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from .compat.torch_ckpt import map_vocoder_state_dict
+    from .config import MelConfig, VocoderConfig
+    from .models import BigVGAN, mel_encode
+    from .train.data import load_wav_mono
+
+    if args.config:
+        cfg = VocoderConfig.from_json(args.config)
+    else:
+        cfg = VocoderConfig()
+    net = BigVGAN(cfg)
+    if args.checkpoint:
+        import torch
+        pkg = torch.load(args.checkpoint, map_location="cpu", weights_only=True)
+        params = map_vocoder_state_dict(pkg.get("generator", pkg), cfg)
+    else:
+        print("[vocoder] no --checkpoint: random weights (smoke mode)")
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, cfg.num_mels)))
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    apply_fn = jax.jit(net.apply)
+    for wav in sorted(Path(args.input_dir).glob("*.wav")):
+        audio, sr = load_wav_mono(wav)
+        assert sr == 48000, f"{wav}: vocoder expects 48 kHz input, got {sr}"
+        mel = mel_encode(jnp.asarray(audio)[None, :], MelConfig())
+        y = np.asarray(apply_fn(params, mel))[0]
+        _write_wav(out_dir / f"{wav.stem}_generated.wav", 48000, y)
+        print(f"[vocoder] {wav.name} -> {wav.stem}_generated.wav")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="flowhigh_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("infer", help="file-to-file super-resolution")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--output", required=True)
+    pi.add_argument("--ckpt_dir", default=None)
+    pi.add_argument("--model_file", default="FLowHigh_basic_400k.pt")
+    pi.add_argument("--time_step", type=int, default=1)
+    pi.add_argument("--ode_method", default="midpoint", choices=["euler", "midpoint"])
+    pi.add_argument("--cfm_method", default="basic_cfm",
+                    choices=["basic_cfm", "independent_cfm_adaptive",
+                             "independent_cfm_constant", "independent_cfm_mix"])
+    pi.add_argument("--sigma", type=float, default=0.0)
+    pi.add_argument("--architecture", default="transformer",
+                    choices=["transformer", "convnext"])
+    pi.add_argument("--n_layers", type=int, default=2)
+    pi.add_argument("--streaming", action="store_true",
+                    help="chunked overlap-add for long clips")
+    pi.add_argument("--tiny", action="store_true",
+                    help="tiny random model (smoke tests)")
+    pi.set_defaults(fn=cmd_infer)
+
+    pt = sub.add_parser("train", help="train the CFM vector field")
+    pt.add_argument("--config", default=None,
+                    help="reference configs/config.json schema")
+    pt.add_argument("--steps", type=int, default=None)
+    pt.add_argument("--save_dir", default=None)
+    pt.add_argument("--resume", default=None)
+    pt.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
+    pt.set_defaults(fn=cmd_train)
+
+    pv = sub.add_parser("vocoder", help="standalone BigVGAN inference")
+    pv.add_argument("--input_dir", required=True)
+    pv.add_argument("--output_dir", required=True)
+    pv.add_argument("--checkpoint", default=None)
+    pv.add_argument("--config", default=None)
+    pv.set_defaults(fn=cmd_vocoder)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,184 @@
+"""BigVGAN discriminators + GAN losses (vocoder training side).
+
+Re-design of the reference's training-only discriminators
+(reference: src/flowhigh/models/bigvgan/models.py:207-381): multi-period
+Conv2d stacks over period-reshaped waveforms (MPD) and multi-resolution
+Conv2d stacks over STFT magnitudes (MRD), with the standard LS-GAN and
+feature-matching losses.
+
+NHWC layout (channels last, TPU-native); weight norm folds at load like the
+generator.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp import stft_magnitude
+
+LRELU_SLOPE = 0.1
+
+DEFAULT_PERIODS = (2, 3, 5, 7, 11)
+DEFAULT_RESOLUTIONS = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
+
+
+def _conv2d(x, w, b, stride=(1, 1), padding=((0, 0), (0, 0))):
+    y = jax.lax.conv_general_dilated(
+        x, w, stride, list(padding),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator (reference: bigvgan/models.py:207-241)."""
+    period: int
+    d_mult: int = 1
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, T]
+        b, t = x.shape
+        p = self.period
+        if t % p != 0:
+            pad = p - t % p
+            x = jnp.pad(x, ((0, 0), (0, pad)), mode="reflect")
+            t = t + pad
+        h = x.reshape(b, t // p, p, 1)  # NHWC: H=T/p, W=p
+
+        fmap = []
+        chans = [int(32 * self.d_mult), int(128 * self.d_mult),
+                 int(512 * self.d_mult), int(1024 * self.d_mult)]
+        cin = 1
+        pad_h = (self.kernel_size - 1) // 2
+        for i, cout in enumerate(chans):
+            w = self.param(f"convs_{i}_kernel", nn.initializers.lecun_normal(),
+                           (self.kernel_size, 1, cin, cout))
+            bb = self.param(f"convs_{i}_bias", nn.initializers.zeros, (cout,))
+            h = _conv2d(h, w, bb, stride=(self.stride, 1),
+                        padding=((pad_h, pad_h), (0, 0)))
+            h = jax.nn.leaky_relu(h, LRELU_SLOPE)
+            fmap.append(h)
+            cin = cout
+        cin = chans[-1]
+        w = self.param("convs_4_kernel", nn.initializers.lecun_normal(),
+                       (self.kernel_size, 1, cin, cin))
+        bb = self.param("convs_4_bias", nn.initializers.zeros, (cin,))
+        h = _conv2d(h, w, bb, padding=((2, 2), (0, 0)))
+        h = jax.nn.leaky_relu(h, LRELU_SLOPE)
+        fmap.append(h)
+        w = self.param("conv_post_kernel", nn.initializers.lecun_normal(),
+                       (3, 1, cin, 1))
+        bb = self.param("conv_post_bias", nn.initializers.zeros, (1,))
+        h = _conv2d(h, w, bb, padding=((1, 1), (0, 0)))
+        fmap.append(h)
+        return h.reshape(b, -1), fmap
+
+
+class DiscriminatorR(nn.Module):
+    """Resolution discriminator over STFT magnitude
+    (reference: bigvgan/models.py:268-318)."""
+    resolution: Sequence[int]  # (n_fft, hop, win)
+    d_mult: int = 1
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, T]
+        n_fft, hop, win = self.resolution
+        mag = stft_magnitude(x, n_fft, hop, win, center=False,
+                             pad_mode="reflect")  # [B, bins, frames]
+        h = jnp.swapaxes(mag, -1, -2)[..., None]  # NHWC: H=frames, W=bins
+        c = int(32 * self.d_mult)
+
+        fmap = []
+        specs = [((3, 9), (1, 1), (1, 4)),
+                 ((3, 9), (1, 2), (1, 4)),
+                 ((3, 9), (1, 2), (1, 4)),
+                 ((3, 9), (1, 2), (1, 4)),
+                 ((3, 3), (1, 1), (1, 1))]
+        cin = 1
+        for i, (k, s, p) in enumerate(specs):
+            w = self.param(f"convs_{i}_kernel", nn.initializers.lecun_normal(),
+                           (k[0], k[1], cin, c))
+            bb = self.param(f"convs_{i}_bias", nn.initializers.zeros, (c,))
+            h = _conv2d(h, w, bb, stride=s,
+                        padding=((p[0], p[0]), (p[1], p[1])))
+            h = jax.nn.leaky_relu(h, LRELU_SLOPE)
+            fmap.append(h)
+            cin = c
+        w = self.param("conv_post_kernel", nn.initializers.lecun_normal(),
+                       (3, 3, c, 1))
+        bb = self.param("conv_post_bias", nn.initializers.zeros, (1,))
+        h = _conv2d(h, w, bb, padding=((1, 1), (1, 1)))
+        fmap.append(h)
+        return h.reshape(x.shape[0], -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """(reference: bigvgan/models.py:244-265)."""
+    periods: Sequence[int] = DEFAULT_PERIODS
+    d_mult: int = 1
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
+        for p in self.periods:
+            d = DiscriminatorP(p, self.d_mult, name=f"p{p}")
+            o_r, f_r = d(y)
+            o_g, f_g = d(y_hat)
+            outs_r.append(o_r); outs_g.append(o_g)
+            fmaps_r.append(f_r); fmaps_g.append(f_g)
+        return outs_r, outs_g, fmaps_r, fmaps_g
+
+
+class MultiResolutionDiscriminator(nn.Module):
+    """(reference: bigvgan/models.py:321-346)."""
+    resolutions: Sequence[Sequence[int]] = DEFAULT_RESOLUTIONS
+    d_mult: int = 1
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
+        for res in self.resolutions:
+            d = DiscriminatorR(tuple(res), self.d_mult, name=f"r{res[0]}")
+            o_r, f_r = d(y)
+            o_g, f_g = d(y_hat)
+            outs_r.append(o_r); outs_g.append(o_g)
+            fmaps_r.append(f_r); fmaps_g.append(f_g)
+        return outs_r, outs_g, fmaps_r, fmaps_g
+
+
+# --- GAN losses (reference: bigvgan/models.py:349-381) -------------------------
+
+def feature_loss(fmaps_r, fmaps_g) -> jax.Array:
+    loss = 0.0
+    for fr, fg in zip(fmaps_r, fmaps_g):
+        for r, g in zip(fr, fg):
+            loss += jnp.mean(jnp.abs(r - g))
+    return loss * 2.0
+
+
+def discriminator_loss(outs_r, outs_g):
+    loss = 0.0
+    r_losses, g_losses = [], []
+    for dr, dg in zip(outs_r, outs_g):
+        r = jnp.mean(jnp.square(1.0 - dr))
+        g = jnp.mean(jnp.square(dg))
+        loss += r + g
+        r_losses.append(r)
+        g_losses.append(g)
+    return loss, r_losses, g_losses
+
+
+def generator_loss(outs_g):
+    loss = 0.0
+    gen_losses = []
+    for dg in outs_g:
+        l = jnp.mean(jnp.square(1.0 - dg))
+        gen_losses.append(l)
+        loss += l
+    return loss, gen_losses

@@ -35,6 +35,26 @@ from .postprocessing import post_process
 BUCKET_SAMPLES = 48000  # 1 s @ 48 kHz — compile-cache granularity
 
 
+def _fast_init(init_fn, rng: jax.Array):
+    """Shape-only init: eval_shape the flax init (no forward compile), fill
+    kernels with fan-in-scaled normals (lecun-like, so deep conv stacks keep
+    unit gain and stay finite) and 1-D params with zeros."""
+    shapes = jax.eval_shape(init_fn, rng)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(rng, len(leaves))
+    vals = []
+    for k, l in zip(keys, leaves):
+        if len(l.shape) >= 2:
+            fan_in = 1
+            for d in l.shape[:-1]:
+                fan_in *= d
+            std = (1.0 / fan_in) ** 0.5
+            vals.append(jax.random.normal(k, l.shape, l.dtype) * std)
+        else:
+            vals.append(jnp.zeros(l.shape, l.dtype))
+    return jax.tree_util.tree_unflatten(treedef, vals)
+
+
 def _is_probably_audio(x) -> bool:
     """(reference: cfm_superresolution.py:91-92)."""
     return x is not None and (x.ndim == 2 or (x.ndim == 3 and x.shape[1] == 1))
@@ -66,12 +86,25 @@ class FlowHighSR:
 
     # -- setup -----------------------------------------------------------------
 
-    def init_params(self, rng: jax.Array, frames: int = 64):
-        """Random-init both networks (for training / tests)."""
+    def init_params(self, rng: jax.Array, frames: int = 64, fast: bool = False):
+        """Random-init both networks (for training / tests).
+
+        ``fast=True`` skips proper initializers: param shapes come from
+        ``jax.eval_shape`` (no forward compile — flax init otherwise jits the
+        whole forward, minutes on a TPU for the full vocoder) and values are
+        filled with small seeded normals. Right for benchmarks/compile checks.
+        """
         r1, r2 = jax.random.split(rng)
         mel = jnp.zeros((1, frames, self.config.model.dim_in))
-        self.params = self.net.init(r1, mel, times=jnp.zeros(()), cond=mel)
-        self.melvoco.init_vocoder_params(r2, frames)
+        if fast:
+            self.params = _fast_init(
+                lambda r: self.net.init(r, mel, times=jnp.zeros(()), cond=mel), r1)
+            voc_mel = jnp.zeros((1, frames, self.config.vocoder.num_mels))
+            self.melvoco.vocoder_params = _fast_init(
+                lambda r: self.melvoco.vocoder.init(r, voc_mel), r2)
+        else:
+            self.params = self.net.init(r1, mel, times=jnp.zeros(()), cond=mel)
+            self.melvoco.init_vocoder_params(r2, frames)
         return self.params
 
     def set_cfm_method(self, cfm_method: str):

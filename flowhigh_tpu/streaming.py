@@ -1,0 +1,85 @@
+"""Long-form streaming inference: chunked generate + overlap-add stitching.
+
+New capability vs the reference, which pushes entire clips through dense
+attention in one shot — a 5-minute clip is 30 000 mel frames of quadratic
+attention (reference: src/flowhigh/flowhighsr.py:59-101, attend.py:123-137).
+Here long audio is processed in fixed-size chunks (one compiled XLA program,
+reused for every chunk), each chunk runs the full pipeline including the
+spectral low-band splice, and chunks are stitched with an equal-power
+crossfade over the overlap region.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from .sr import FlowHighSR
+
+
+class StreamingSR:
+    def __init__(self, model: FlowHighSR, chunk_seconds: float = 10.0,
+                 overlap_seconds: float = 1.0):
+        assert overlap_seconds < chunk_seconds / 2
+        self.model = model
+        self.chunk_seconds = chunk_seconds
+        self.overlap_seconds = overlap_seconds
+
+    def generate(self, audio: np.ndarray, sr: int,
+                 target_sampling_rate: int = 48000, timestep: int = 1,
+                 seed: int = 0) -> np.ndarray:
+        """[T] any-rate waveform -> [1, T * target/sr] at 48 kHz."""
+        audio = np.asarray(audio)
+        if audio.ndim == 2:
+            audio = audio[0]
+        if np.abs(audio).max() > 1:
+            audio = audio / 32768.0
+
+        n = len(audio)
+        chunk_in = int(self.chunk_seconds * sr)
+        overlap_in = int(self.overlap_seconds * sr)
+        hop_in = chunk_in - overlap_in
+
+        if n <= chunk_in:
+            return self.model.generate(audio, sr, target_sampling_rate,
+                                       timestep, seed)
+
+        ratio = target_sampling_rate // math.gcd(target_sampling_rate, sr)
+        den = sr // math.gcd(target_sampling_rate, sr)
+        def to_out(x: int) -> int:
+            return x * ratio // den
+
+        n_chunks = 1 + math.ceil((n - chunk_in) / hop_in)
+        total_out = to_out(n)
+        out = np.zeros(total_out, np.float32)
+        weight = np.zeros(total_out, np.float32)
+
+        overlap_out = to_out(overlap_in)
+        # equal-power crossfade ramps
+        ramp = np.sin(0.5 * np.pi * np.linspace(0, 1, overlap_out)) ** 2
+
+        for c in range(n_chunks):
+            start = c * hop_in
+            seg = audio[start : start + chunk_in]
+            pad = chunk_in - len(seg)
+            if pad > 0:
+                seg = np.pad(seg, (0, pad))
+            # fixed chunk length -> one compiled program for every chunk
+            y = self.model.generate(seg, sr, target_sampling_rate, timestep,
+                                    seed=seed + c)[0]
+            y = y[: to_out(chunk_in)]
+
+            w = np.ones(len(y), np.float32)
+            if c > 0:
+                w[:overlap_out] = ramp
+            if c < n_chunks - 1:
+                w[len(y) - overlap_out :] = ramp[::-1]
+            o0 = to_out(start)
+            o1 = min(o0 + len(y), total_out)
+            out[o0:o1] += (y * w)[: o1 - o0]
+            weight[o0:o1] += w[: o1 - o0]
+
+        out = out / np.maximum(weight, 1e-8)
+        return out[None, :]

@@ -1,0 +1,104 @@
+"""Metrics, long-form streaming, and CLI smoke tests."""
+
+import numpy as np
+import pytest
+import scipy.io.wavfile as wavfile
+
+import jax
+import jax.numpy as jnp
+
+from flowhigh_tpu.metrics import (RTFTimer, high_band_lsd,
+                                  log_spectral_distance, snr_db)
+
+
+class TestMetrics:
+    def test_lsd_zero_for_identical(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 24000)).astype(np.float32))
+        assert float(log_spectral_distance(x, x)[0]) < 1e-5
+
+    def test_lsd_detects_band_limitation(self, rng):
+        n = np.arange(48000) / 48000
+        full = (np.sin(2 * np.pi * 440 * n)
+                + 0.3 * np.sin(2 * np.pi * 15000 * n)).astype(np.float32)
+        lowpassed = np.sin(2 * np.pi * 440 * n).astype(np.float32)
+        lsd = float(log_spectral_distance(jnp.asarray(full)[None],
+                                          jnp.asarray(lowpassed)[None])[0])
+        assert lsd > 0.5
+        hb = float(high_band_lsd(jnp.asarray(full)[None],
+                                 jnp.asarray(lowpassed)[None])[0])
+        assert hb > lsd  # damage concentrated in the high band
+
+    def test_snr(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+        assert float(snr_db(x, x)[0]) > 100
+        noisy = x + 0.1 * jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+        s = snr_db(x, noisy)
+        assert 10 < float(s[0]) < 30
+
+    def test_rtf_timer(self):
+        timer = RTFTimer(audio_seconds=1.0)
+        f = jax.jit(lambda x: x * 2)
+        rtf = timer.measure(f, jnp.ones((1000,)), reps=3)
+        assert rtf > 1.0
+        assert timer.p50_latency > 0
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from test_sr import TINY
+
+    from flowhigh_tpu import FlowHighSR
+    m = FlowHighSR(TINY, cfm_method="independent_cfm_adaptive", ode_method="euler")
+    m.init_params(jax.random.PRNGKey(0))
+    return m
+
+
+class TestStreaming:
+    def test_long_clip_stitches(self, tiny_model, rng):
+        from flowhigh_tpu.streaming import StreamingSR
+        s = StreamingSR(tiny_model, chunk_seconds=1.0, overlap_seconds=0.25)
+        audio = (rng.standard_normal(16000 * 3) * 0.3).astype(np.float32)  # 3 s
+        out = s.generate(audio, 16000)
+        assert out.shape == (1, 48000 * 3)
+        assert np.isfinite(out).all()
+        # energy everywhere (no dead zones at chunk boundaries)
+        seg = out[0].reshape(-1, 4800)
+        assert (np.abs(seg).max(axis=1) > 1e-4).all()
+
+    def test_short_clip_passthrough(self, tiny_model, rng):
+        from flowhigh_tpu.streaming import StreamingSR
+        s = StreamingSR(tiny_model, chunk_seconds=2.0, overlap_seconds=0.25)
+        audio = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+        direct = tiny_model.generate(audio, 16000, seed=0)
+        chunked = s.generate(audio, 16000, seed=0)
+        np.testing.assert_array_equal(direct, chunked)
+
+
+class TestCLI:
+    def test_infer_smoke(self, tmp_path, rng):
+        # smoke mode (tiny random weights) exercises the whole infer path
+        import flowhigh_tpu.cli as cli
+
+        sr_in, n = 16000, 16000
+        wav = (rng.standard_normal(n) * 0.2 * 32767).astype(np.int16)
+        inp = tmp_path / "in.wav"
+        outp = tmp_path / "out.wav"
+        wavfile.write(inp, sr_in, wav)
+        rc = cli.main(["infer", "--input", str(inp), "--output", str(outp),
+                       "--time_step", "1", "--ode_method", "euler",
+                       "--cfm_method", "independent_cfm_adaptive", "--tiny"])
+        assert rc == 0
+        sr_out, data = wavfile.read(outp)
+        assert sr_out == 48000
+        assert len(data) == n * 3
+
+    def test_parser_surface(self):
+        # the README-documented flag surface exists (reference README.md:69-78)
+        import flowhigh_tpu.cli as cli
+        p = cli.build_parser()
+        args = p.parse_args([
+            "infer", "--input", "a.wav", "--output", "b.wav",
+            "--time_step", "4", "--ode_method", "euler",
+            "--cfm_method", "independent_cfm_mix", "--sigma", "1e-4",
+            "--architecture", "transformer", "--n_layers", "2"])
+        assert args.time_step == 4 and args.sigma == pytest.approx(1e-4)
