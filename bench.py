@@ -37,7 +37,7 @@ def main():
     reps = 5
 
     sr = FlowHighSR(FlowHighConfig(), cfm_method="independent_cfm_adaptive",
-                    ode_method="euler")
+                    ode_method="euler", fused_vocoder=True)
     sr.init_params(jax.random.PRNGKey(0), fast=True)
 
     rng = np.random.default_rng(0)

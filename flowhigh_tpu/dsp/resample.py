@@ -45,6 +45,32 @@ def output_length(n: int, up: int, down: int) -> int:
     return -(-(n * up) // down)
 
 
+@functools.lru_cache(maxsize=64)
+def _polyphase_bank(up: int, down: int) -> tuple[np.ndarray, int, int]:
+    """Polyphase filter bank W[phase, taps] such that the upfirdn output
+    y[c + m*up] = sum_k W[c, k] * x[s0 + m*down + k] (cross-correlation).
+
+    Derivation: y[n] = sum_j x[j] h[(n + pre)*down - j*up] (scipy upfirdn with
+    the pre-pad alignment of _design). Substituting n = c + m*up and
+    j = s0 + m*down + k makes the m-terms cancel, leaving
+    W[c, k] = h[(c + pre)*down - (s0 + k)*up]. No input dilation — this
+    compiles to a plain strided conv with ``up`` output channels (the
+    lhs_dilation form pathologically slows the TPU conv compiler).
+    """
+    h, pre, _ = _design(up, down)
+    lh = len(h)
+    # choose s0 so that k >= 0 covers every tap for every phase
+    s0 = min(((c + pre) * down - (lh - 1)) // up for c in range(up))
+    k_max = max(((c + pre) * down) // up for c in range(up)) - s0
+    w = np.zeros((up, k_max + 1), np.float32)
+    for c in range(up):
+        for k in range(k_max + 1):
+            idx = (c + pre) * down - (s0 + k) * up
+            if 0 <= idx < lh:
+                w[c, k] = h[idx]
+    return w, s0, k_max + 1
+
+
 def resample_poly(x: jax.Array, up: int, down: int) -> jax.Array:
     """[..., T] -> [..., ceil(T*up/down)]; numerically matches scipy (f32)."""
     g = math.gcd(up, down)
@@ -53,23 +79,33 @@ def resample_poly(x: jax.Array, up: int, down: int) -> jax.Array:
         return x
     n_in = x.shape[-1]
     n_out = output_length(n_in, up, down)
-    h, n_pre_remove, _ = _design(up, down)
-    k = len(h)
+    w, s0, kw = _polyphase_bank(up, down)
+
+    m_out = -(-n_out // up)  # per-phase output count
+    # x[j] needed for j in [s0, s0 + (m_out-1)*down + kw)
+    pad_left = max(0, -s0)
+    j_max = s0 + (m_out - 1) * down + kw
+    pad_right = max(0, j_max - n_in)
 
     batch_shape = x.shape[:-1]
-    lhs = x.reshape((-1, 1, n_in)).astype(jnp.float32)  # [N, C=1, T]
-    rhs = jnp.asarray(h[::-1].copy()).reshape((1, 1, k))  # flip: XLA convs correlate
+    lhs = x.reshape((-1, 1, n_in)).astype(jnp.float32)
+    lhs = jnp.pad(lhs, ((0, 0), (0, 0), (pad_left, pad_right)))
+    lhs = lax_slice_start(lhs, s0 + pad_left)
+    rhs = jnp.asarray(w).reshape(up, 1, kw)  # OIH: phases as output channels
 
     out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
+        lhs, rhs,
         window_strides=(down,),
-        padding=[(k - 1, k - 1)],
-        lhs_dilation=(up,),
+        padding=[(0, 0)],
         dimension_numbers=("NCH", "OIH", "NCH"),
-    )  # [N, 1, ceil(((n_in-1)*up + 2k-1 - k + 1)/down)]
-    out = out[:, 0, n_pre_remove : n_pre_remove + n_out]
-    return out.reshape(batch_shape + (n_out,))
+    )  # [N, up, >= m_out]
+    out = out[:, :, :m_out]                       # [N, up, m_out]
+    y = jnp.swapaxes(out, 1, 2).reshape(out.shape[0], -1)  # interleave phases
+    return y[:, :n_out].reshape(batch_shape + (n_out,))
+
+
+def lax_slice_start(x: jax.Array, start: int) -> jax.Array:
+    return x[..., start:] if start > 0 else x
 
 
 def upsample_to_48k(x: jax.Array, sr: int, target_sr: int = 48000) -> jax.Array:

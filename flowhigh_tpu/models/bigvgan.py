@@ -163,14 +163,20 @@ class Activation1d(nn.Module):
     channels: int
     activation: str = "snakebeta"  # snake | snakebeta
     logscale: bool = True
+    fused: bool = False  # Pallas fused up2->snake->down2 (ops/fused_act.py)
 
     @nn.compact
     def __call__(self, x):  # [B, T, C]
         init = nn.initializers.zeros if self.logscale else nn.initializers.ones
         alpha = self.param("alpha", init, (self.channels,))
-        y = upsample1d(x, 2, 12)
+        beta = None
         if self.activation == "snakebeta":
             beta = self.param("beta", init, (self.channels,))
+        if self.fused:
+            from ..ops import fused_snake_activation1d
+            return fused_snake_activation1d(x, alpha, beta, self.logscale)
+        y = upsample1d(x, 2, 12)
+        if beta is not None:
             y = snake_beta(y, alpha, beta, self.logscale)
         else:
             y = snake(y, alpha, self.logscale)
@@ -186,20 +192,21 @@ class AMPBlock1(nn.Module):
     activation: str
     logscale: bool
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         for j, d in enumerate(self.dilations):
             xt = Activation1d(self.channels, self.activation, self.logscale,
-                              name=f"act1_{j}")(x)
+                              self.fused, name=f"act1_{j}")(x)
             w = self.param(f"convs1_{j}_kernel", nn.initializers.lecun_normal(),
                            (k, self.channels, self.channels))
             b = self.param(f"convs1_{j}_bias", nn.initializers.zeros, (self.channels,))
             xt = conv1d(xt.astype(self.dtype), w.astype(self.dtype), b,
                         padding=(k * d - d) // 2, dilation=d)
             xt = Activation1d(self.channels, self.activation, self.logscale,
-                              name=f"act2_{j}")(xt)
+                              self.fused, name=f"act2_{j}")(xt)
             w2 = self.param(f"convs2_{j}_kernel", nn.initializers.lecun_normal(),
                             (k, self.channels, self.channels))
             b2 = self.param(f"convs2_{j}_bias", nn.initializers.zeros, (self.channels,))
@@ -217,13 +224,14 @@ class AMPBlock2(nn.Module):
     activation: str
     logscale: bool
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         for j, d in enumerate(self.dilations):
             xt = Activation1d(self.channels, self.activation, self.logscale,
-                              name=f"act_{j}")(x)
+                              self.fused, name=f"act_{j}")(x)
             w = self.param(f"convs_{j}_kernel", nn.initializers.lecun_normal(),
                            (k, self.channels, self.channels))
             b = self.param(f"convs_{j}_bias", nn.initializers.zeros, (self.channels,))
@@ -238,6 +246,7 @@ class BigVGAN(nn.Module):
     (reference: bigvgan/models.py:124-194)."""
     cfg: VocoderConfig
     dtype: jnp.dtype = jnp.float32
+    fused_act: bool = False  # use the Pallas fused snake activation
 
     @nn.compact
     def __call__(self, mel: jax.Array) -> jax.Array:
@@ -264,13 +273,14 @@ class BigVGAN(nn.Module):
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
                 y = block_cls(
                     ch_out, rk, rd, cfg.activation, cfg.snake_logscale,
-                    dtype=self.dtype, name=f"resblocks_{i * num_kernels + j}")(x)
+                    dtype=self.dtype, fused=self.fused_act,
+                    name=f"resblocks_{i * num_kernels + j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
             ch = ch_out
 
         x = Activation1d(ch, cfg.activation, cfg.snake_logscale,
-                         name="activation_post")(x)
+                         self.fused_act, name="activation_post")(x)
         w_post = self.param("conv_post_kernel", nn.initializers.lecun_normal(),
                             (7, ch, 1))
         b_post = self.param("conv_post_bias", nn.initializers.zeros, (1,))

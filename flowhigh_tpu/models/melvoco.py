@@ -41,10 +41,10 @@ class MelVoco:
 
     def __init__(self, mel_cfg: MelConfig = MelConfig(),
                  voc_cfg: VocoderConfig = VocoderConfig(),
-                 vocoder_params=None, dtype=jnp.float32):
+                 vocoder_params=None, dtype=jnp.float32, fused_act: bool = False):
         self.mel_cfg = mel_cfg
         self.voc_cfg = voc_cfg
-        self.vocoder = BigVGAN(voc_cfg, dtype=dtype)
+        self.vocoder = BigVGAN(voc_cfg, dtype=dtype, fused_act=fused_act)
         self.vocoder_params = vocoder_params
 
     # reference attribute surface (melvoco.py:17-54)

@@ -41,15 +41,18 @@ def _fast_init(init_fn, rng: jax.Array):
     unit gain and stay finite) and 1-D params with zeros."""
     shapes = jax.eval_shape(init_fn, rng)
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    keys = jax.random.split(rng, len(leaves))
+    # host-side value generation: per-leaf jax.random on device would mean
+    # hundreds of tiny TPU compiles
+    host = np.random.default_rng(int(np.asarray(jax.random.key_data(rng))[-1]))
     vals = []
-    for k, l in zip(keys, leaves):
+    for l in leaves:
         if len(l.shape) >= 2:
             fan_in = 1
             for d in l.shape[:-1]:
                 fan_in *= d
             std = (1.0 / fan_in) ** 0.5
-            vals.append(jax.random.normal(k, l.shape, l.dtype) * std)
+            vals.append(jnp.asarray(
+                host.standard_normal(l.shape, dtype=np.float32) * std, l.dtype))
         else:
             vals.append(jnp.zeros(l.shape, l.dtype))
     return jax.tree_util.tree_unflatten(treedef, vals)
@@ -72,6 +75,7 @@ class FlowHighSR:
         ode_method: Optional[str] = None,
         cond_drop_prob: float = 0.0,
         upsampling_method: str = "scipy",
+        fused_vocoder: bool = False,
     ):
         self.config = config
         self.cfm_method = cfm_method or config.cfm.cfm_method
@@ -81,7 +85,8 @@ class FlowHighSR:
         self.upsampling_method = upsampling_method
 
         self.net = VectorFieldNet(config.model)
-        self.melvoco = MelVoco(config.mel, config.vocoder, vocoder_params)
+        self.melvoco = MelVoco(config.mel, config.vocoder, vocoder_params,
+                               fused_act=fused_vocoder)
         self.params = params
 
     # -- setup -----------------------------------------------------------------
@@ -182,7 +187,11 @@ class FlowHighSR:
         """The whole clip pipeline as one XLA program. ``audio``: [1, T_in_pad]."""
         hop = self.config.mel.hop_length
         cond = resample_poly(audio, target_sr, in_sr)      # [1, T48_pad]
-        n_valid48 = n_valid * target_sr // in_sr
+        # exact floor(n * up / down) without int32 overflow (n * 48000 would)
+        g = math.gcd(target_sr, in_sr)
+        up, down = target_sr // g, in_sr // g
+        q, r = n_valid // down, n_valid % down
+        n_valid48 = q * up + r * up // down
 
         # peak-normalize over the valid region only
         t48 = cond.shape[-1]
