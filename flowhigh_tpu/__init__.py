@@ -19,11 +19,14 @@ from .config import (
     VocoderConfig,
 )
 from .sr import FlowHighSR
+from .cfm_wrapper import ConditionalFlowMatcherWrapper, FLowHigh, init_bigvgan
+from .streaming import StreamingSR
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "FlowHighSR",
+    "FlowHighSR", "ConditionalFlowMatcherWrapper", "FLowHigh", "init_bigvgan",
+    "StreamingSR",
     "FlowHighConfig", "MelConfig", "VocoderConfig", "ModelConfig",
     "CFMConfig", "DataConfig", "TrainConfig",
 ]

@@ -192,6 +192,45 @@ def cfm_loss(
     return jnp.mean(num / den)
 
 
+# --- full training loss (shared by Trainer and the wrapper API) ---------------
+
+def cfm_training_loss(
+    net_apply,
+    params,
+    rng: jax.Array,
+    x1_mel: jax.Array,            # [B, T, M] target mel
+    cond_mel: jax.Array,          # [B, T, M] low-res mel
+    mel_lengths: jax.Array,       # [B] valid frame counts
+    *,
+    method: str,
+    sigma: float,
+    out_size: int,                # crop frames (2 s); <=0 disables cropping
+    cond_drop_prob: float = 0.0,
+    weighted: bool = False,
+) -> jax.Array:
+    """Path construction + segment crop + vector-field regression
+    (reference: cfm_superresolution.py:287-527 + flow.py:276-309)."""
+    r_t, r_path, r_crop, r_drop = jax.random.split(rng, 4)
+    b = x1_mel.shape[0]
+    t = jax.random.uniform(r_t, (b,))
+    ps = sample_path(r_path, method, x1_mel, cond_mel, t, sigma)
+
+    if out_size and out_size > 0:
+        (w, flow, cond_c), mask = crop_segments(
+            r_crop, (ps.x_t, ps.u_t, cond_mel), mel_lengths, out_size)
+    else:
+        w, flow, cond_c = ps.x_t, ps.u_t, cond_mel
+        mask = jnp.arange(x1_mel.shape[1])[None, :] < mel_lengths[:, None]
+
+    drop_mask = None
+    if cond_drop_prob > 0:
+        drop_mask = jax.random.uniform(r_drop, (b,)) < cond_drop_prob
+
+    pred = net_apply(params, w, times=t, cond=cond_c,
+                     cond_drop_mask=drop_mask, mask=mask)
+    return cfm_loss(pred, flow, mask=mask, weighted=weighted, cutoff=ps.cutoff)
+
+
 # --- training segment crop -----------------------------------------------------
 
 def crop_segments(

@@ -1,0 +1,217 @@
+"""Reference-shaped mid-level API: FLowHigh + ConditionalFlowMatcherWrapper.
+
+Drop-in-shaped equivalents of the reference's model-level surface
+(reference: src/flowhigh/models/flow.py:54-75 constructor kwargs and
+src/flowhigh/cfm_superresolution.py:94-527 wrapper methods), so code written
+against the reference maps one-to-one. These wrap the functional JAX core —
+``FLowHigh`` bundles a VectorFieldNet with its config/params/codec, and the
+wrapper exposes ``sample`` / ``forward`` (training loss) / ``load``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .cfm import (cfm_training_loss, mel_cutoff_bins, mel_replace,
+                  odeint_fixed, sample_prior)
+from .config import CFMConfig, ModelConfig
+from .models import MelVoco, VectorFieldNet, forward_with_cond_scale
+from .models.melvoco import encode as _encode
+from .sr import _is_probably_audio
+
+
+class FLowHigh:
+    """Reference-kwarg model container (reference: flow.py:55-75)."""
+
+    def __init__(
+        self,
+        *,
+        audio_enc_dec: Optional[MelVoco] = None,
+        dim_in: Optional[int] = None,
+        dim: int = 1024,
+        depth: int = 24,
+        dim_head: int = 64,
+        heads: int = 16,
+        ff_mult: int = 4,
+        conv_pos_embed_kernel_size: int = 31,
+        attn_qk_norm: bool = True,
+        architecture: str = "transformer",
+        params=None,
+    ):
+        self.audio_enc_dec = audio_enc_dec
+        self.config = ModelConfig(
+            architecture=architecture,
+            dim_in=dim_in if dim_in is not None else dim,
+            dim=dim, depth=depth, heads=heads, dim_head=dim_head,
+            ff_mult=ff_mult,
+            conv_pos_embed_kernel_size=conv_pos_embed_kernel_size,
+            attn_qk_norm=attn_qk_norm,
+        )
+        self.net = VectorFieldNet(self.config)
+        self.params = params
+
+    def init_params(self, rng: jax.Array):
+        mel = jnp.zeros((1, 8, self.config.dim_in))
+        self.params = self.net.init(rng, mel, times=jnp.zeros(()), cond=mel)
+        return self.params
+
+    def __call__(self, x, *, times, cond, cond_drop_mask=None, mask=None):
+        return self.net.apply(self.params, x, times=times, cond=cond,
+                              cond_drop_mask=cond_drop_mask, mask=mask)
+
+
+class ConditionalFlowMatcherWrapper:
+    """(reference: cfm_superresolution.py:94-527). ``ode_atol``/``rtol``/
+    ``use_torchode`` are accepted for signature parity; the fixed-grid
+    euler/midpoint solvers are exact on the reference's sampling grid."""
+
+    def __init__(
+        self,
+        flowhigh: FLowHigh,
+        sigma: float = 0.0,
+        ode_atol: float = 1e-5,
+        ode_rtol: float = 1e-5,
+        use_torchode: bool = False,
+        cfm_method: str = "basic_cfm",
+        torchdiffeq_ode_method: str = "midpoint",
+        torchode_method_klass=None,
+        cond_drop_prob: float = 0.0,
+    ):
+        del ode_atol, ode_rtol, use_torchode, torchode_method_klass
+        self.flowhigh = flowhigh
+        self.sigma = sigma
+        self.cfm_method = cfm_method
+        self.ode_method = torchdiffeq_ode_method
+        self.cond_drop_prob = cond_drop_prob
+
+    def _mel_cfg(self):
+        enc = self.flowhigh.audio_enc_dec
+        assert enc is not None, "audio_enc_dec must be set"
+        return enc.mel_cfg
+
+    def sample(
+        self,
+        *,
+        cond=None,
+        cond_mask=None,
+        time_steps: int = 4,
+        cond_scale: float = 1.0,
+        decode_to_audio: bool = True,
+        std_1: Optional[float] = None,
+        std_2: Optional[float] = None,
+        mel_pp: bool = False,
+        cfm_method: Optional[str] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        """(reference: cfm_superresolution.py:162-284)."""
+        if cfm_method not in CFMConfig.CFM_METHODS:
+            cfm_method = self.cfm_method
+        if cfm_method != "basic_cfm" and (std_1 is None or std_2 is None):
+            std_1, std_2 = 1.0, self.sigma
+        if std_1 is None:
+            std_1, std_2 = 1.0, 0.0
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        cond = jnp.asarray(cond)
+        if _is_probably_audio(cond):
+            cond = _encode(cond.reshape(cond.shape[0], -1), self._mel_cfg())
+
+        cutoff = mel_cutoff_bins(cond)
+        y0 = sample_prior(rng, cfm_method, cond, float(std_1), float(std_2),
+                          cutoff)
+
+        fh = self.flowhigh
+
+        def ode_fn(t, x):
+            return forward_with_cond_scale(
+                fh.net.apply, fh.params, x, times=t, cond=cond,
+                cond_scale=cond_scale, mask=cond_mask)
+
+        sampled = odeint_fixed(ode_fn, y0, time_steps, self.ode_method)
+        if mel_pp:
+            sampled = mel_replace(sampled, cond, cutoff)
+        if not decode_to_audio or fh.audio_enc_dec is None:
+            return sampled
+        return fh.audio_enc_dec.decode(sampled)
+
+    def forward(
+        self,
+        x1,
+        *,
+        cond=None,
+        cond_lengths=None,
+        mask=None,
+        cond_mask=None,
+        input_sampling_rate=None,
+        weighted_loss: bool = False,
+        cfm_method: Optional[str] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Training loss (reference: cfm_superresolution.py:287-527)."""
+        del mask, cond_mask, input_sampling_rate
+        if cfm_method not in CFMConfig.CFM_METHODS:
+            cfm_method = self.cfm_method
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        mel_cfg = self._mel_cfg()
+        x1 = jnp.asarray(x1)
+        cond = jnp.asarray(cond)
+        if _is_probably_audio(x1):
+            x1 = _encode(x1.reshape(x1.shape[0], -1), mel_cfg)
+        if _is_probably_audio(cond):
+            cond = _encode(cond.reshape(cond.shape[0], -1), mel_cfg)
+
+        # pad to a common frame count (reference: :325-328)
+        t = max(x1.shape[1], cond.shape[1])
+        if x1.shape[1] < t:
+            x1 = jnp.pad(x1, ((0, 0), (0, t - x1.shape[1]), (0, 0)))
+        if cond.shape[1] < t:
+            cond = jnp.pad(cond, ((0, 0), (0, t - cond.shape[1]), (0, 0)))
+
+        if cond_lengths is None:
+            mel_lengths = jnp.full((x1.shape[0],), t, jnp.int32)
+        else:
+            mel_lengths = jnp.clip(jnp.asarray(cond_lengths, jnp.int32), 1, t)
+
+        out_size = 2 * mel_cfg.sampling_rate // mel_cfg.hop_length
+        return cfm_training_loss(
+            self.flowhigh.net.apply, self.flowhigh.params, rng,
+            x1, cond, mel_lengths,
+            method=cfm_method, sigma=self.sigma, out_size=out_size,
+            cond_drop_prob=self.cond_drop_prob, weighted=weighted_loss)
+
+    __call__ = forward
+
+    def load(self, path, strict: bool = True):
+        """Load a reference-layout checkpoint package and return it
+        (reference: cfm_superresolution.py:125-131)."""
+        import torch
+
+        from .compat.torch_ckpt import map_model_state_dict
+        path = Path(path)
+        assert path.exists()
+        pkg = torch.load(str(path), map_location="cpu", weights_only=True)
+        self.flowhigh.params = map_model_state_dict(
+            pkg["model"], self.flowhigh.config)
+        return pkg
+
+
+def init_bigvgan(vocoder_config, vocoder_path, vocoder_freeze: bool = True):
+    """Build + load the BigVGAN generator from its JSON config and torch
+    checkpoint (reference: src/flowhigh/models/bigvgan/init_vocoder.py:8-23).
+    Returns a MelVoco-compatible (cfg, params) pair."""
+    import torch
+
+    from .compat.torch_ckpt import map_vocoder_state_dict
+    from .config import VocoderConfig
+    del vocoder_freeze  # params are immutable pytrees; nothing to freeze
+    cfg = VocoderConfig.from_json(vocoder_config)
+    pkg = torch.load(vocoder_path, map_location="cpu", weights_only=True)
+    params = map_vocoder_state_dict(pkg.get("generator", pkg), cfg)
+    return cfg, params

@@ -50,3 +50,43 @@ def post_process(
     audio = istft(spec_out, n_fft, hop_length, n_fft, length=length)
     peak = jnp.max(jnp.abs(audio), axis=-1, keepdims=True)
     return audio / peak * 0.99
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def post_process_with_phase(
+    pred: jax.Array,
+    src: jax.Array,
+    length: int,
+    n_fft: int = 2048,
+    hop_length: int = 480,
+    threshold: float = 0.99,
+) -> jax.Array:
+    """Phase-replication variant: high-band magnitude from the prediction,
+    phase tiled up from the source's low band
+    (reference: src/flowhigh/postprocessing.py:43-79), vectorized — the
+    reference's repeat+slice phase tiling becomes a modular gather.
+    """
+    spec_pred = stft(pred, n_fft, hop_length, n_fft, center=True, pad_mode="constant")
+    spec_src = stft(src, n_fft, hop_length, n_fft, center=True, pad_mode="constant")
+
+    t = min(spec_pred.shape[-1], spec_src.shape[-1])
+    spec_pred = spec_pred[..., :t]
+    spec_src = spec_src[..., :t]
+
+    energy = jnp.sum(jnp.abs(spec_src), axis=-1)
+    cr = jnp.maximum(cutoff_bins_from_energy(energy, threshold), 1)  # [B]
+
+    bins = spec_pred.shape[-2]
+    b_idx = jnp.arange(bins)
+    # reference tiling: tile the cr low-band phase rows, keep the LAST
+    # (bins - cr) rows == source row (b_idx - bins) mod cr
+    src_row = jnp.mod(b_idx[None, :] - bins, cr[:, None])          # [B, bins]
+    phase = jnp.angle(spec_src)
+    rep_phase = jnp.take_along_axis(phase, src_row[..., None], axis=1)
+
+    high = jnp.abs(spec_pred) * jnp.exp(1j * rep_phase)
+    spec_out = jnp.where(b_idx[None, :, None] >= cr[:, None, None], high, spec_src)
+
+    audio = istft(spec_out, n_fft, hop_length, n_fft, length=length)
+    peak = jnp.max(jnp.abs(audio), axis=-1, keepdims=True)
+    return audio / peak * 0.99

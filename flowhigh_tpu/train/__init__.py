@@ -7,3 +7,7 @@ __all__ = [
     "AudioDataset", "SyntheticAudioDataset", "batch_iterator",
     "Trainer", "TrainState",
 ]
+
+from .vocoder_trainer import VocoderTrainer, VocoderTrainState  # noqa: E402
+
+__all__ += ["VocoderTrainer", "VocoderTrainState"]

@@ -32,7 +32,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from ..cfm import cfm_loss, crop_segments, sample_path
+from ..cfm import cfm_training_loss
 from ..config import FlowHighConfig
 from ..models import VectorFieldNet, mel_encode
 from ..parallel import (batch_sharding, make_mesh, param_shardings,
@@ -86,7 +86,6 @@ class Trainer:
     def _loss_fn(self, params, rng, wave, cond_wav, lengths):
         cfg = self.config
         mel = cfg.mel
-        r_t, r_path, r_crop, r_drop = jax.random.split(rng, 4)
 
         # per-sample peak-norm of cond (reference: trainer.py:282-283)
         peak = jnp.max(jnp.abs(cond_wav), axis=-1, keepdims=True)
@@ -94,28 +93,17 @@ class Trainer:
 
         x1 = mel_encode(wave, mel)          # [B, F, M] (no grad: pure fn)
         cond = mel_encode(cond_wav, mel)
-        b = x1.shape[0]
 
         # reference mel-length formula (trainer.py:280)
         mel_len = jnp.ceil((lengths - mel.win_length) / mel.hop_length + 1)
         mel_len = jnp.clip(mel_len.astype(jnp.int32), 1, x1.shape[1])
 
-        t = jax.random.uniform(r_t, (b,))
-        ps = sample_path(r_path, self.cfm_method, x1, cond, t, cfg.cfm.sigma)
-
-        out_size = 2 * mel.sampling_rate // mel.hop_length  # 200 frames = 2 s
-        (w, flow, cond_c), mask = crop_segments(
-            r_crop, (ps.x_t, ps.u_t, cond), mel_len, out_size)
-
-        drop_mask = None
-        if cfg.cfm.cond_drop_prob > 0:
-            drop_mask = jax.random.uniform(r_drop, (b,)) < cfg.cfm.cond_drop_prob
-
-        pred = self.net.apply(params, w, times=t, cond=cond_c,
-                              cond_drop_mask=drop_mask, mask=mask)
-        loss = cfm_loss(pred, flow, mask=mask,
-                        weighted=cfg.train.weighted_loss, cutoff=ps.cutoff)
-        return loss
+        return cfm_training_loss(
+            self.net.apply, params, rng, x1, cond, mel_len,
+            method=self.cfm_method, sigma=cfg.cfm.sigma,
+            out_size=2 * mel.sampling_rate // mel.hop_length,  # 200 fr = 2 s
+            cond_drop_prob=cfg.cfm.cond_drop_prob,
+            weighted=cfg.train.weighted_loss)
 
     def _make_step(self):
         def step(state: TrainState, wave, cond_wav, lengths):

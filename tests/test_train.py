@@ -137,3 +137,26 @@ class TestCheckpoint:
                        log_fn=lambda *_: None)
         assert int(state.step) == 3
         assert (tmp_path / "metrics.jsonl").exists()
+
+
+class TestVocoderTrainer:
+    def test_gan_step_runs_and_is_finite(self):
+        from flowhigh_tpu.config import VocoderConfig
+        from flowhigh_tpu.train import VocoderTrainer
+
+        tiny_voc = VocoderConfig(
+            num_mels=256, upsample_initial_channel=16,
+            upsample_rates=(8, 5, 4, 3), upsample_kernel_sizes=(16, 10, 8, 6),
+            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),))
+        tr = VocoderTrainer(tiny_voc, mesh=make_mesh(n_data=2, n_model=1),
+                            segment_frames=8, periods=(2,),
+                            resolutions=((512, 50, 240),))
+        state = tr.init_state(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        batch = {"wave": rng.standard_normal(
+            (2, tr.segment_samples)).astype(np.float32) * 0.3}
+        state, m = tr.train_step(state, batch)
+        state, m = tr.train_step(state, batch)
+        assert np.isfinite(float(m["disc_loss"]))
+        assert np.isfinite(float(m["gen_loss"]))
+        assert int(state.step) == 2
