@@ -50,9 +50,10 @@ def main():
     out = sr.generate(audio, sr=in_sr, timestep=1)
     assert np.isfinite(out).all()
 
-    # sustained throughput: drive the on-device program back-to-back and sync
-    # once — per-clip np.asarray would measure the control-tunnel RTT, not the
-    # chip (serving keeps the pipeline on device exactly like this)
+    # per-iteration scalar fetch: on this backend, queued-dispatch timing via
+    # block_until_ready reports unreliable numbers (see PERF.md); fetching a
+    # value each iteration measures true end-to-end serving latency (including
+    # ~35 ms control RTT)
     import jax.numpy as jnp
 
     audio_dev = jnp.asarray(audio)[None, :]
@@ -60,16 +61,18 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def run(k):
-        return sr._generate_jit(
+        out, n48 = sr._generate_jit(
             sr.params, sr.melvoco.vocoder_params, audio_dev, n_valid, k,
             in_sr, 48000, 1, sr.cfm_method, sr.ode_method, 1.0, 1.0)
+        return out
 
-    jax.block_until_ready(run(key))
-    reps = 20
-    t0 = time.perf_counter()
-    outs = [run(jax.random.fold_in(key, i)) for i in range(reps)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / reps
+    _ = float(run(key).ravel()[0])  # warm
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        _ = float(run(jax.random.fold_in(key, i)).ravel()[0])
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
 
     rtf = seconds / dt
     print(json.dumps({

@@ -63,14 +63,31 @@ def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> 
 
 def conv1d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None, *,
            stride: int = 1, padding: int = 0, dilation: int = 1,
-           groups: int = 1) -> jax.Array:
-    """x: [B, T, Cin], w: [K, Cin/groups, Cout] (HIO)."""
-    y = jax.lax.conv_general_dilated(
-        x, w, (stride,), [(padding, padding)],
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=groups,
-    )
+           groups: int = 1, mxu: bool = False) -> jax.Array:
+    """x: [B, T, Cin], w: [K, Cin/groups, Cout] (HIO).
+
+    ``mxu=True`` lowers the conv as K shifted matmuls (sum_i shift_i(x) @ W_i)
+    so the channel contraction runs on the systolic array — XLA's TPU conv
+    path lowers these narrow-channel 1-D convs onto the VPU instead.
+    Only for stride=1, groups=1.
+    """
+    if mxu and stride == 1 and groups == 1:
+        k = w.shape[0]
+        t = x.shape[1]
+        xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+        y = None
+        for i in range(k):
+            o = jnp.einsum("btc,cd->btd", xp[:, i * dilation : i * dilation + t, :],
+                           w[i], preferred_element_type=jnp.float32)
+            y = o if y is None else y + o
+        y = y.astype(x.dtype)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w, (stride,), [(padding, padding)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=groups,
+        )
     if b is not None:
         y = y + b
     return y
@@ -82,12 +99,15 @@ def conv_transpose1d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
     """torch ConvTranspose1d semantics: out = (T-1)*stride - 2*padding + K.
 
     x: [B, T, Cin]; w: [K, Cout/groups, Cin] in *transpose* orientation —
-    we express it as a fractionally-strided conv: dilate the input by
-    ``stride``, flip the kernel, swap in/out channels.
+    expressed as a fractionally-strided conv: dilate the input by ``stride``,
+    flip the kernel, swap in/out channels. (A polyphase phases-as-channels
+    variant compiled faster here but ran ~75x slower — the interleave reshape
+    dominates; at the vocoder's small spatial extents the lhs_dilation conv
+    both compiles acceptably and runs at full speed.)
     """
     k = w.shape[0]
     w_conv = jnp.flip(w, axis=0)            # flip taps
-    w_conv = jnp.swapaxes(w_conv, 1, 2)     # [K, Cin/groups, Cout] -> HIO for fwd conv
+    w_conv = jnp.swapaxes(w_conv, 1, 2)     # -> HIO for the forward conv
     y = jax.lax.conv_general_dilated(
         x, w_conv, (1,), [(k - 1 - padding, k - 1 - padding)],
         lhs_dilation=(stride,),
@@ -193,6 +213,7 @@ class AMPBlock1(nn.Module):
     logscale: bool
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
+    mxu_convs: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -204,14 +225,14 @@ class AMPBlock1(nn.Module):
                            (k, self.channels, self.channels))
             b = self.param(f"convs1_{j}_bias", nn.initializers.zeros, (self.channels,))
             xt = conv1d(xt.astype(self.dtype), w.astype(self.dtype), b,
-                        padding=(k * d - d) // 2, dilation=d)
+                        padding=(k * d - d) // 2, dilation=d, mxu=self.mxu_convs)
             xt = Activation1d(self.channels, self.activation, self.logscale,
                               self.fused, name=f"act2_{j}")(xt)
             w2 = self.param(f"convs2_{j}_kernel", nn.initializers.lecun_normal(),
                             (k, self.channels, self.channels))
             b2 = self.param(f"convs2_{j}_bias", nn.initializers.zeros, (self.channels,))
             xt = conv1d(xt.astype(self.dtype), w2.astype(self.dtype), b2,
-                        padding=(k - 1) // 2)
+                        padding=(k - 1) // 2, mxu=self.mxu_convs)
             x = xt + x
         return x
 
@@ -247,6 +268,7 @@ class BigVGAN(nn.Module):
     cfg: VocoderConfig
     dtype: jnp.dtype = jnp.float32
     fused_act: bool = False  # use the Pallas fused snake activation
+    mxu_convs: bool = False  # lower resblock convs as shifted matmuls
 
     @nn.compact
     def __call__(self, mel: jax.Array) -> jax.Array:
@@ -266,14 +288,16 @@ class BigVGAN(nn.Module):
             wt = self.param(f"ups_{i}_kernel", nn.initializers.lecun_normal(),
                             (k, ch_out, ch))  # [K, Cout, Cin] transpose orientation
             bt = self.param(f"ups_{i}_bias", nn.initializers.zeros, (ch_out,))
-            x = conv_transpose1d(x, wt.astype(self.dtype), bt, stride=u,
-                                 padding=(k - u) // 2)
+            x = conv_transpose1d(x.astype(self.dtype), wt.astype(self.dtype),
+                                 bt, stride=u, padding=(k - u) // 2)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+                extra = ({"mxu_convs": self.mxu_convs}
+                         if block_cls is AMPBlock1 else {})
                 y = block_cls(
                     ch_out, rk, rd, cfg.activation, cfg.snake_logscale,
-                    dtype=self.dtype, fused=self.fused_act,
+                    dtype=self.dtype, fused=self.fused_act, **extra,
                     name=f"resblocks_{i * num_kernels + j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels

@@ -36,11 +36,9 @@ import numpy as np
 from ..models.bigvgan import (downsample1d, kaiser_sinc_filter1d, snake,
                               snake_beta, upsample1d)
 
-TILE_T = 512
+TILE_T = 1024
 TILE_C = 128
-# logical halo is 6 each side; the DMA block carries 16 extra rows so its
-# sublane extent (tile_t + 16) stays aligned to the (8, 128) f32 tiling
-HALO = 16
+HALO = 16  # rows borrowed from the next block (logical halo is 12)
 
 
 def _filters():
@@ -62,21 +60,13 @@ def _snake_tile(u, alpha, beta, logscale: bool, has_beta: bool):
 def _make_kernel(logscale: bool, has_beta: bool, tile_t: int):
     h, we, wo = _filters()
 
-    def kernel(xp_hbm, ab_ref, out_ref, scratch, sem):
-        from jax.experimental.pallas import tpu as pltpu
-        import jax.experimental.pallas as pl
-
-        b = pl.program_id(0)
-        ti = pl.program_id(1)
-        cj = pl.program_id(2)
-
-        cp = pltpu.make_async_copy(
-            xp_hbm.at[b, pl.ds(ti * tile_t, tile_t + HALO),
-                      pl.ds(cj * TILE_C, TILE_C)],
-            scratch, sem)
-        cp.start()
-        cp.wait()
-        lx = scratch[:]  # [tile_t + 12, TILE_C]
+    def kernel(cur_ref, nxt_ref, ab_ref, out_ref):
+        # halo rows come from the next block (same array, index_map i+1), so
+        # Mosaic's grid pipeline double-buffers all loads automatically —
+        # no manual DMA/semaphores, traffic overlaps compute.
+        lx_main = cur_ref[0]                     # [tile_t, TILE_C]
+        lx_halo = nxt_ref[0, :HALO, :]           # [HALO, TILE_C]
+        lx = jnp.concatenate([lx_main, lx_halo], axis=0)
 
         alpha = ab_ref[0, :]
         beta = ab_ref[1, :]
@@ -122,11 +112,6 @@ def _fused_fwd_impl(x, alpha, beta, logscale, interpret):
     # Mosaic kernels only compile for TPU; elsewhere (CPU tests) interpret.
     interpret = interpret or jax.default_backend() != "tpu"
 
-    # narrow-channel stages waste lanes and run latency-bound single-buffered
-    # DMAs — the XLA grouped-conv path wins there (measured crossover ~128ch)
-    if x.shape[-1] < TILE_C and not interpret:
-        return _reference_act(x, alpha, beta, logscale, beta is not None)
-
     bsz, t, c = x.shape
     has_beta = beta is not None
     h, we, wo = _filters()
@@ -135,9 +120,9 @@ def _fused_fwd_impl(x, alpha, beta, logscale, interpret):
     t_pad = -(-t // tile_t) * tile_t
     c_pad = -(-c // TILE_C) * TILE_C
 
-    # edge-pad time: 6 left (up's replicate semantics) and enough right to
-    # cover the last tile's HALO-extended DMA block
-    right = (t_pad - t) + (HALO - 6)
+    # edge-pad time by 6 each side (up's replicate semantics), then extend to
+    # t_pad + one extra donor block so every tile's "next" halo block exists
+    right = (t_pad + tile_t) - t - 6
     xp = jnp.pad(x, ((0, 0), (6, 6), (0, 0)), mode="edge")
     xp = jnp.pad(xp, ((0, 0), (0, right), (0, 0)), mode="edge")
     if c_pad > c:
@@ -149,23 +134,24 @@ def _fused_fwd_impl(x, alpha, beta, logscale, interpret):
     ])  # [2, c_pad]
 
     kernel = _make_kernel(logscale, has_beta, tile_t)
+    block = pl.BlockSpec((1, tile_t, TILE_C), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM)
+    halo_block = pl.BlockSpec((1, tile_t, TILE_C), lambda b, i, j: (b, i + 1, j),
+                              memory_space=pltpu.VMEM)
+    xpf = xp.astype(jnp.float32)
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bsz, t_pad, c_pad), jnp.float32),
         grid=(bsz, t_pad // tile_t, c_pad // TILE_C),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # xp stays in HBM, DMA'd
+            block,       # current tile
+            halo_block,  # next tile (halo donor)
             pl.BlockSpec((2, TILE_C), lambda b, i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_t, TILE_C), lambda b, i, j: (b, i, j),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((tile_t + HALO, TILE_C), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=block,
         interpret=interpret,
-    )(xp.astype(jnp.float32), ab)
+    )(xpf, xpf, ab)
     y = y[:, :t, :c]
 
     # exact edge patch: down replicate-pads s in interleaved index space
@@ -213,7 +199,10 @@ def _patch_edges(y, x, alpha, beta, logscale, has_beta, h, we, wo):
         rows.append(acc)
     right = jnp.stack(rows, axis=1)
 
-    return jnp.concatenate([left, y[:, 3 : t - 3, :], right], axis=1)
+    # in-place row updates (XLA lowers these as dynamic-update-slice, no
+    # full-array concat copies)
+    y = jax.lax.dynamic_update_slice_in_dim(y, left, 0, axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(y, right, t - 3, axis=1)
 
 
 def _reference_act(x, alpha, beta, logscale, has_beta):
