@@ -184,25 +184,29 @@ class FlowHighSR:
         in_sr: int, target_sr: int, time_steps: int, cfm_method: str,
         ode_method: str, std_1: float, std_2: float,
     ):
-        """The whole clip pipeline as one XLA program. ``audio``: [1, T_in_pad]."""
+        """The whole clip pipeline as one XLA program.
+
+        ``audio``: [B, T_in_pad]; ``n_valid``: [] or [B] true sample counts —
+        batched serving shares the same compiled program per (length, rate).
+        """
         hop = self.config.mel.hop_length
-        cond = resample_poly(audio, target_sr, in_sr)      # [1, T48_pad]
+        cond = resample_poly(audio, target_sr, in_sr)      # [B, T48_pad]
         # exact floor(n * up / down) without int32 overflow (n * 48000 would)
         g = math.gcd(target_sr, in_sr)
         up, down = target_sr // g, in_sr // g
         q, r = n_valid // down, n_valid % down
-        n_valid48 = q * up + r * up // down
+        n_valid48 = jnp.broadcast_to(q * up + r * up // down, (audio.shape[0],))
 
-        # peak-normalize over the valid region only
+        # peak-normalize per sample over the valid region only
         t48 = cond.shape[-1]
-        valid = jnp.arange(t48)[None, :] < n_valid48
+        valid = jnp.arange(t48)[None, :] < n_valid48[:, None]
         cond = jnp.where(valid, cond, 0.0)
-        cond = cond / jnp.max(jnp.abs(cond))
+        cond = cond / jnp.max(jnp.abs(cond), axis=-1, keepdims=True)
 
-        cond_mel = mel_encode(cond, self.config.mel)       # [1, F, 256]
+        cond_mel = mel_encode(cond, self.config.mel)       # [B, F, 256]
         n_frames = cond_mel.shape[1]
         frame_mask = jnp.arange(n_frames)[None, :] < (
-            (n_valid48 + hop - 1) // hop)
+            (n_valid48[:, None] + hop - 1) // hop)
 
         cutoff = mel_cutoff_bins(cond_mel)
 
@@ -217,7 +221,8 @@ class FlowHighSR:
 
         # length-align vocoded audio with the upsampled source
         t_out = min(hr.shape[-1], t48)
-        hr = jnp.where(jnp.arange(t_out)[None, :] < n_valid48, hr[..., :t_out], 0.0)
+        hr = jnp.where(jnp.arange(t_out)[None, :] < n_valid48[:, None],
+                       hr[..., :t_out], 0.0)
         src = cond[..., :t_out]
         out = post_process(hr, src, t_out)
         return out, n_valid48
@@ -254,8 +259,60 @@ class FlowHighSR:
             jnp.asarray(padded)[None, :], jnp.asarray(n), jax.random.PRNGKey(seed),
             int(sr), int(target_sampling_rate), int(timestep),
             self.cfm_method, self.ode_method, float(std_1), float(std_2))
-        n48 = int(n48)
+        n48 = int(n48[0])
         return np.asarray(out)[:, :n48]
+
+    def generate_batch(
+        self,
+        audios: list,
+        srs,
+        target_sampling_rate: int = 48000,
+        timestep: int = 1,
+        seed: int = 0,
+    ) -> list:
+        """Batched serving: clips grouped by input rate, padded to a shared
+        bucket, one compiled program per (rate, bucket) — mixed-rate batches
+        (BASELINE config #2) cost one program per distinct rate."""
+        if isinstance(srs, int):
+            srs = [srs] * len(audios)
+        prepped = []
+        for a in audios:
+            a = np.asarray(a)
+            if a.ndim == 2:
+                a = a[0]
+            if np.abs(a).max() > 1:
+                a = a / 32768.0
+            prepped.append(a.astype(np.float32))
+
+        outs: list = [None] * len(audios)
+        by_rate: dict = {}
+        for i, (a, r) in enumerate(zip(prepped, srs)):
+            by_rate.setdefault(int(r), []).append(i)
+
+        std_1, std_2 = 1.0, self.sigma
+        if self.cfm_method == "independent_cfm_adaptive":
+            std_2 = 1.0
+
+        for rate, idxs in by_rate.items():
+            in_bucket = BUCKET_SAMPLES * rate // target_sampling_rate
+            n_max = max(len(prepped[i]) for i in idxs)
+            n_pad = max(in_bucket, math.ceil(n_max / in_bucket) * in_bucket)
+            batch = np.zeros((len(idxs), n_pad), np.float32)
+            lens = np.zeros((len(idxs),), np.int32)
+            for row, i in enumerate(idxs):
+                a = prepped[i]
+                batch[row, : len(a)] = a
+                lens[row] = len(a)
+            out, n48 = self._generate_jit(
+                self.params, self.melvoco.vocoder_params,
+                jnp.asarray(batch), jnp.asarray(lens), jax.random.PRNGKey(seed),
+                rate, int(target_sampling_rate), int(timestep),
+                self.cfm_method, self.ode_method, float(std_1), float(std_2))
+            out = np.asarray(out)
+            n48 = np.asarray(n48)
+            for row, i in enumerate(idxs):
+                outs[i] = out[row : row + 1, : int(n48[row])]
+        return outs
 
     # -- checkpoint loading ----------------------------------------------------
 
