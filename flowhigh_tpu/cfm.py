@@ -192,6 +192,23 @@ def cfm_loss(
     return jnp.mean(num / den)
 
 
+# --- conditioning augmentation -------------------------------------------------
+
+def freq_mask_cond(rng: jax.Array, cond: jax.Array) -> jax.Array:
+    """Random frequency-band masking of the conditioning mel: a 10-20 bin band
+    starting in [20, n_mels - height) is set to min(cond) + 1e-3 per sample
+    (reference: src/flowhigh/models/flow.py:27-37), fully traced."""
+    b, _, m = cond.shape
+    r_h, r_s = jax.random.split(rng)
+    height = jax.random.randint(r_h, (b,), 10, 21)
+    start = jax.random.randint(r_s, (b,), 20, m - 20)  # height <= 20 fits
+    bins = jnp.arange(m)
+    in_band = (bins[None, :] >= start[:, None]) & (
+        bins[None, :] < (start + height)[:, None])
+    fill = jnp.min(cond) + 1e-3
+    return jnp.where(in_band[:, None, :], fill, cond)
+
+
 # --- full training loss (shared by Trainer and the wrapper API) ---------------
 
 def cfm_training_loss(
@@ -207,10 +224,13 @@ def cfm_training_loss(
     out_size: int,                # crop frames (2 s); <=0 disables cropping
     cond_drop_prob: float = 0.0,
     weighted: bool = False,
+    cond_freq_masking: bool = False,
 ) -> jax.Array:
     """Path construction + segment crop + vector-field regression
     (reference: cfm_superresolution.py:287-527 + flow.py:276-309)."""
-    r_t, r_path, r_crop, r_drop = jax.random.split(rng, 4)
+    r_t, r_path, r_crop, r_drop, r_fm = jax.random.split(rng, 5)
+    if cond_freq_masking:
+        cond_mel = freq_mask_cond(r_fm, cond_mel)
     b = x1_mel.shape[0]
     t = jax.random.uniform(r_t, (b,))
     ps = sample_path(r_path, method, x1_mel, cond_mel, t, sigma)

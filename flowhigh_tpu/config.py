@@ -136,6 +136,7 @@ class TrainConfig:
     save_model_every: int = 100000
     save_dir: str = "./results"
     weighted_loss: bool = False
+    cond_freq_masking: bool = False
     random_seed: int = 104
     random_split_seed: int = 53
 

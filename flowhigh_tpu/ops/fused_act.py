@@ -54,42 +54,58 @@ def _snake_tile(u, alpha, beta, logscale: bool, has_beta: bool):
         beta = jnp.exp(beta) if has_beta else alpha
     elif not has_beta:
         beta = alpha
-    return u + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(u * alpha))
+    # x + (1/b) sin^2(ax) = x + (0.5/b) - (0.5/b) cos(2ax): one transcendental
+    # per element instead of sin+square (the kernel is VPU-compute-bound)
+    half_inv_b = 0.5 / (beta + 1e-9)
+    return u + half_inv_b - half_inv_b * jnp.cos(u * (2.0 * alpha))
 
 
-def _make_kernel(logscale: bool, has_beta: bool, tile_t: int):
+def _make_kernel(logscale: bool, has_beta: bool, tile_t: int, c_blk: int):
     h, we, wo = _filters()
 
-    def kernel(cur_ref, nxt_ref, ab_ref, out_ref):
-        # halo rows come from the next block (same array, index_map i+1), so
-        # Mosaic's grid pipeline double-buffers all loads automatically —
-        # no manual DMA/semaphores, traffic overlaps compute.
-        lx_main = cur_ref[0]                     # [tile_t, TILE_C]
-        lx_halo = nxt_ref[0, :HALO, :]           # [HALO, TILE_C]
-        lx = jnp.concatenate([lx_main, lx_halo], axis=0)
+    def kernel(cur_ref, prev_ref, nxt_ref, ab_ref, out_ref):
+        # main data comes straight from x (no padded copy); the 6-row left and
+        # 10-row right halos are tiny pre-gathered strips. The kernel is HBM
+        # bandwidth-bound, so the glue traffic matters more than the math.
+        lx = jnp.concatenate([
+            prev_ref[0].astype(jnp.float32),          # [8, c]  (rows 2..8 used)
+            cur_ref[0].astype(jnp.float32),           # [tile_t, c]
+            nxt_ref[0].astype(jnp.float32),           # [16, c] (first 10 used)
+        ], axis=0)
+        # lx row r corresponds to xp[i*tile_t + r - 2] in the old indexing
+        # (xp = 6-left-padded x); i.e. lx[2 + k] == old lx[k].
 
         alpha = ab_ref[0, :]
         beta = ab_ref[1, :]
 
-        # s_e/s_o on [tile_t + 6) local time steps
         n_s = tile_t + 6
-        se = jnp.zeros((n_s, TILE_C), jnp.float32)
-        so = jnp.zeros((n_s, TILE_C), jnp.float32)
+        se = jnp.zeros((n_s, c_blk), jnp.float32)
+        so = jnp.zeros((n_s, c_blk), jnp.float32)
         for k in range(6):
-            se = se + we[k] * lx[k : k + n_s, :]
-            so = so + wo[k] * lx[k + 1 : k + 1 + n_s, :]
+            se = se + we[k] * lx[2 + k : 2 + k + n_s, :]
+            so = so + wo[k] * lx[3 + k : 3 + k + n_s, :]
         se = _snake_tile(se, alpha, beta, logscale, has_beta)
         so = _snake_tile(so, alpha, beta, logscale, has_beta)
 
-        # y[n'] = sum_m h[2m+5] s_e[n'+3+m] + h[2m+6] s_o[n'+3+m]
-        y = jnp.zeros((tile_t, TILE_C), jnp.float32)
+        y = jnp.zeros((tile_t, c_blk), jnp.float32)
         for m in range(-2, 4):
             y = y + h[2 * m + 5] * se[3 + m : 3 + m + tile_t, :]
         for m in range(-3, 3):
             y = y + h[2 * m + 6] * so[3 + m : 3 + m + tile_t, :]
-        out_ref[0, :, :] = y
+        out_ref[0, :, :] = y.astype(out_ref.dtype)
 
     return kernel
+
+
+def _pick_tile(t: int) -> int:
+    """Largest multiple-of-8 divisor of t up to 1024 (audio/vocoder lengths
+    are highly composite); 0 if none — caller pads."""
+    best = 0
+    for cand in range(min(TILE_T, t), 7, -8):
+        if t % cand == 0:
+            best = cand
+            break
+    return best
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -100,7 +116,8 @@ def fused_snake_activation1d(x: jax.Array, alpha: jax.Array,
     """[B, T, C] -> [B, T, C]: downsample2(snake(upsample2(x))), fused.
 
     ``beta=None`` selects plain snake (alpha only). Exact parity with the
-    unfused XLA composition (up to f32 reassociation).
+    unfused XLA composition (up to f32 reassociation). I/O dtype follows x
+    (bf16 halves HBM traffic — the op is bandwidth-bound); compute is f32.
     """
     return _fused_fwd_impl(x, alpha, beta, logscale, interpret)
 
@@ -115,47 +132,60 @@ def _fused_fwd_impl(x, alpha, beta, logscale, interpret):
     bsz, t, c = x.shape
     has_beta = beta is not None
     h, we, wo = _filters()
+    io_dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
 
-    tile_t = TILE_T if t >= TILE_T else -(-max(64, t) // 8) * 8
-    t_pad = -(-t // tile_t) * tile_t
-    c_pad = -(-c // TILE_C) * TILE_C
+    tile_t = _pick_tile(t)
+    if tile_t == 0:  # awkward length: pad up to a multiple of 8 and recurse
+        t_pad = -(-max(64, t) // 8) * 8
+        xq = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)), mode="edge")
+        return _fused_fwd_impl(xq, alpha, beta, logscale, interpret)[:, :t, :]
+    n_tiles = t // tile_t
+    c_blk = min(c, TILE_C)  # Mosaic lane-pads narrow C; wide C splits in 128s
 
-    # edge-pad time by 6 each side (up's replicate semantics), then extend to
-    # t_pad + one extra donor block so every tile's "next" halo block exists
-    right = (t_pad + tile_t) - t - 6
-    xp = jnp.pad(x, ((0, 0), (6, 6), (0, 0)), mode="edge")
-    xp = jnp.pad(xp, ((0, 0), (0, right), (0, 0)), mode="edge")
-    if c_pad > c:
-        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, c_pad - c)))
+    # tiny halo strips gathered straight from x (edge-clamped indices give the
+    # up stage's replicate padding); strips are 16/tile_t of the main traffic
+    idx_prev = np.clip(
+        (np.arange(n_tiles)[:, None] * tile_t - 8 + np.arange(8)[None, :]),
+        0, t - 1).reshape(-1)
+    idx_next = np.clip(
+        ((np.arange(n_tiles)[:, None] + 1) * tile_t + np.arange(16)[None, :]),
+        0, t - 1).reshape(-1)
+    xq = x.astype(io_dtype)
+    prev = xq[:, idx_prev, :].reshape(bsz, n_tiles * 8, c)
+    nxt = xq[:, idx_next, :].reshape(bsz, n_tiles * 16, c)
 
     ab = jnp.stack([
-        jnp.pad(alpha.astype(jnp.float32), (0, c_pad - c)),
-        jnp.pad((beta if has_beta else alpha).astype(jnp.float32), (0, c_pad - c)),
-    ])  # [2, c_pad]
+        jnp.pad(alpha.astype(jnp.float32), (0, max(0, c_blk - c))),
+        jnp.pad((beta if has_beta else alpha).astype(jnp.float32),
+                (0, max(0, c_blk - c))),
+    ])[:, :c_blk]  # [2, c_blk]
 
-    kernel = _make_kernel(logscale, has_beta, tile_t)
-    block = pl.BlockSpec((1, tile_t, TILE_C), lambda b, i, j: (b, i, j),
-                         memory_space=pltpu.VMEM)
-    halo_block = pl.BlockSpec((1, tile_t, TILE_C), lambda b, i, j: (b, i + 1, j),
-                              memory_space=pltpu.VMEM)
-    xpf = xp.astype(jnp.float32)
+    kernel = _make_kernel(logscale, has_beta, tile_t, c_blk)
+    n_cb = -(-c // c_blk)
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bsz, t_pad, c_pad), jnp.float32),
-        grid=(bsz, t_pad // tile_t, c_pad // TILE_C),
+        out_shape=jax.ShapeDtypeStruct((bsz, t, c), io_dtype),
+        grid=(bsz, n_tiles, n_cb),
         in_specs=[
-            block,       # current tile
-            halo_block,  # next tile (halo donor)
-            pl.BlockSpec((2, TILE_C), lambda b, i, j: (0, j),
+            pl.BlockSpec((1, tile_t, c_blk), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, c_blk), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, c_blk), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c_blk), lambda b, i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=block,
+        out_specs=pl.BlockSpec((1, tile_t, c_blk), lambda b, i, j: (b, i, j),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xpf, xpf, ab)
-    y = y[:, :t, :c]
+    )(xq, prev, nxt, ab)
 
-    # exact edge patch: down replicate-pads s in interleaved index space
-    y = _patch_edges(y, x, alpha, beta, logscale, has_beta, h, we, wo)
+    # exact edge patch: down replicate-pads s in interleaved index space.
+    # Output stays in io_dtype — a cast back to f32 here would cost a full
+    # conversion copy of a bandwidth-bound op's output.
+    y = _patch_edges(y, x.astype(jnp.float32), alpha, beta, logscale, has_beta,
+                     h, we, wo)
     return y
 
 
@@ -201,8 +231,9 @@ def _patch_edges(y, x, alpha, beta, logscale, has_beta, h, we, wo):
 
     # in-place row updates (XLA lowers these as dynamic-update-slice, no
     # full-array concat copies)
-    y = jax.lax.dynamic_update_slice_in_dim(y, left, 0, axis=1)
-    return jax.lax.dynamic_update_slice_in_dim(y, right, t - 3, axis=1)
+    y = jax.lax.dynamic_update_slice_in_dim(y, left.astype(y.dtype), 0, axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(y, right.astype(y.dtype),
+                                               t - 3, axis=1)
 
 
 def _reference_act(x, alpha, beta, logscale, has_beta):

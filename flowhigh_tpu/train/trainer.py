@@ -103,7 +103,8 @@ class Trainer:
             method=self.cfm_method, sigma=cfg.cfm.sigma,
             out_size=2 * mel.sampling_rate // mel.hop_length,  # 200 fr = 2 s
             cond_drop_prob=cfg.cfm.cond_drop_prob,
-            weighted=cfg.train.weighted_loss)
+            weighted=cfg.train.weighted_loss,
+            cond_freq_masking=cfg.train.cond_freq_masking)
 
     def _make_step(self):
         def step(state: TrainState, wave, cond_wav, lengths):

@@ -199,3 +199,38 @@ class TestCrop:
         (ca,), mask = crop_segments(jax.random.PRNGKey(3), (a,), jnp.array([40]), 8)
         vals = np.asarray(ca[0, :, 0])
         assert (np.diff(vals) == 1).all()  # contiguous window
+
+
+class TestFreqMask:
+    def test_band_is_masked(self, rng):
+        from flowhigh_tpu.cfm import freq_mask_cond
+        cond = jnp.asarray(rng.standard_normal((3, 20, 256)).astype(np.float32))
+        out = freq_mask_cond(jax.random.PRNGKey(0), cond)
+        fill = float(jnp.min(cond)) + 1e-3
+        for i in range(3):
+            masked_bins = np.where(np.all(np.isclose(np.asarray(out[i]), fill), axis=0))[0]
+            assert 10 <= len(masked_bins) <= 20
+            assert masked_bins.min() >= 20
+            # contiguous band
+            assert (np.diff(masked_bins) == 1).all()
+        # unmasked bins untouched
+        keep = np.ones(256, bool)
+        i = 0
+        masked_bins = np.where(np.all(np.isclose(np.asarray(out[0]), fill), axis=0))[0]
+        keep[masked_bins] = False
+        np.testing.assert_array_equal(np.asarray(out[0])[:, keep],
+                                      np.asarray(cond[0])[:, keep])
+
+    def test_training_loss_with_masking(self, rng):
+        from flowhigh_tpu.cfm import cfm_training_loss
+        from flowhigh_tpu.config import ModelConfig
+        from flowhigh_tpu.models import VectorFieldNet
+        cfg = ModelConfig(dim_in=256, dim=32, depth=2, heads=2, dim_head=8)
+        net = VectorFieldNet(cfg)
+        x = jnp.asarray(rng.standard_normal((2, 30, 256)).astype(np.float32))
+        params = net.init(jax.random.PRNGKey(0), x, times=jnp.zeros(()), cond=x)
+        loss = cfm_training_loss(
+            net.apply, params, jax.random.PRNGKey(1), x, x,
+            jnp.array([30, 20]), method="independent_cfm_adaptive", sigma=1e-4,
+            out_size=16, cond_freq_masking=True)
+        assert np.isfinite(float(loss))
