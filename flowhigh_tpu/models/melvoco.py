@@ -39,9 +39,38 @@ class MelVoco:
     compute functional so it jits and shards cleanly.
     """
 
-    def __init__(self, mel_cfg: MelConfig = MelConfig(),
-                 voc_cfg: VocoderConfig = VocoderConfig(),
-                 vocoder_params=None, dtype=jnp.float32, fused_act: bool = False):
+    def __init__(self, mel_cfg: MelConfig = None,
+                 voc_cfg: VocoderConfig = None,
+                 vocoder_params=None, dtype=jnp.float32, fused_act: bool = False,
+                 *,
+                 # reference constructor surface (melvoco.py:17-31)
+                 n_mels=None, sampling_rate=None, f_max=None, f_min=None,
+                 n_fft=None, win_length=None, hop_length=None,
+                 vocoder="bigvgan", vocoder_config=None, vocoder_path=None,
+                 log=True):
+        if mel_cfg is None:
+            base = MelConfig()
+            mel_cfg = MelConfig(
+                n_mels=n_mels or base.n_mels,
+                sampling_rate=sampling_rate or base.sampling_rate,
+                f_max=f_max or base.f_max,
+                f_min=f_min or base.f_min,
+                n_fft=n_fft or base.n_fft,
+                win_length=win_length or base.win_length,
+                hop_length=hop_length or base.hop_length,
+            )
+        assert vocoder == "bigvgan", "unsuitable vocoder name"
+        if voc_cfg is None:
+            if vocoder_config is not None:
+                voc_cfg = VocoderConfig.from_json(vocoder_config)
+            else:
+                voc_cfg = VocoderConfig()
+        if vocoder_params is None and vocoder_path is not None:
+            from ..compat.torch_ckpt import map_vocoder_state_dict
+            import torch
+            pkg = torch.load(vocoder_path, map_location="cpu", weights_only=True)
+            vocoder_params = map_vocoder_state_dict(pkg.get("generator", pkg),
+                                                    voc_cfg)
         self.mel_cfg = mel_cfg
         self.voc_cfg = voc_cfg
         self.vocoder = BigVGAN(voc_cfg, dtype=dtype, fused_act=fused_act)

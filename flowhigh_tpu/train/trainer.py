@@ -63,6 +63,7 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(n_data=1, n_model=1)
         self.results_folder = Path(results_folder or config.train.save_dir)
         self._step_fn = None
+        self._eval_fn = None
 
     # -- state ------------------------------------------------------------------
 
@@ -132,6 +133,31 @@ class Trainer:
             self._step_fn = self._make_step()
         b = shard_batch(self.mesh, {k: batch[k] for k in ("wave", "cond", "lengths")})
         return self._step_fn(state, b["wave"], b["cond"], b["lengths"])
+
+    # -- validation ---------------------------------------------------------------
+
+    def evaluate(self, state: TrainState, batches) -> dict:
+        """Validation CFM loss over held-out batches (the hook the reference
+        stubbed empty, trainer.py:322-331)."""
+        if self._eval_fn is None:
+            data_sh = batch_sharding(self.mesh)
+            rep = replicated_sharding(self.mesh)
+
+            def eval_step(params, rng, wave, cond_wav, lengths):
+                return self._loss_fn(params, rng, wave, cond_wav, lengths)
+
+            self._eval_fn = jax.jit(eval_step,
+                                    in_shardings=(None, None, data_sh, data_sh, data_sh),
+                                    out_shardings=rep)
+        losses = []
+        rng = jax.random.PRNGKey(0)  # fixed: comparable across evals
+        for i, batch in enumerate(batches):
+            b = shard_batch(self.mesh,
+                            {k: batch[k] for k in ("wave", "cond", "lengths")})
+            losses.append(float(self._eval_fn(
+                state.params, jax.random.fold_in(rng, i),
+                b["wave"], b["cond"], b["lengths"])))
+        return {"valid_loss": float(np.mean(losses)), "n_batches": len(losses)}
 
     # -- loop -------------------------------------------------------------------
 

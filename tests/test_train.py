@@ -160,3 +160,23 @@ class TestVocoderTrainer:
         assert np.isfinite(float(m["disc_loss"]))
         assert np.isfinite(float(m["gen_loss"]))
         assert int(state.step) == 2
+
+
+class TestValidation:
+    def test_evaluate(self, tiny_batch):
+        tr = Trainer(TINY_CFG, mesh=make_mesh(n_data=2, n_model=1))
+        state = tr.init_state(jax.random.PRNGKey(0))
+        m = tr.evaluate(state, [tiny_batch, tiny_batch])
+        assert np.isfinite(m["valid_loss"]) and m["n_batches"] == 2
+        # deterministic across calls (fixed eval rng)
+        m2 = tr.evaluate(state, [tiny_batch, tiny_batch])
+        assert m["valid_loss"] == m2["valid_loss"]
+
+
+class TestMelVocoRefKwargs:
+    def test_reference_constructor_surface(self):
+        from flowhigh_tpu.models import MelVoco
+        v = MelVoco(n_mels=256, sampling_rate=48000, f_max=24000, f_min=20,
+                    n_fft=2048, win_length=2048, hop_length=480)
+        assert v.n_mels == 256 and v.hop_length == 480
+        assert v.latent_dim == 256
