@@ -21,11 +21,12 @@ from .sr import FlowHighSR
 
 class StreamingSR:
     def __init__(self, model: FlowHighSR, chunk_seconds: float = 10.0,
-                 overlap_seconds: float = 1.0):
+                 overlap_seconds: float = 1.0, batch_size: int = 4):
         assert overlap_seconds < chunk_seconds / 2
         self.model = model
         self.chunk_seconds = chunk_seconds
         self.overlap_seconds = overlap_seconds
+        self.batch_size = batch_size  # chunks per device batch
 
     def generate(self, audio: np.ndarray, sr: int,
                  target_sampling_rate: int = 48000, timestep: int = 1,
@@ -60,16 +61,23 @@ class StreamingSR:
         # equal-power crossfade ramps
         ramp = np.sin(0.5 * np.pi * np.linspace(0, 1, overlap_out)) ** 2
 
+        # all chunks share one shape -> process them in device batches: the
+        # control round trip amortizes and the chip fills better
+        segs = []
+        for c in range(n_chunks):
+            seg = audio[c * hop_in : c * hop_in + chunk_in]
+            if len(seg) < chunk_in:
+                seg = np.pad(seg, (0, chunk_in - len(seg)))
+            segs.append(seg)
+        ys = []
+        for b0 in range(0, n_chunks, self.batch_size):
+            batch = segs[b0 : b0 + self.batch_size]
+            ys.extend(self.model.generate_batch(
+                batch, sr, target_sampling_rate, timestep, seed=seed + b0))
+
         for c in range(n_chunks):
             start = c * hop_in
-            seg = audio[start : start + chunk_in]
-            pad = chunk_in - len(seg)
-            if pad > 0:
-                seg = np.pad(seg, (0, pad))
-            # fixed chunk length -> one compiled program for every chunk
-            y = self.model.generate(seg, sr, target_sampling_rate, timestep,
-                                    seed=seed + c)[0]
-            y = y[: to_out(chunk_in)]
+            y = ys[c][0][: to_out(chunk_in)]
 
             w = np.ones(len(y), np.float32)
             if c > 0:
