@@ -165,6 +165,71 @@ def odeint_fixed(
     return y
 
 
+def odeint_adaptive(
+    f: Callable[[jax.Array, jax.Array], jax.Array],
+    y0: jax.Array,
+    atol: float = 1e-5,
+    rtol: float = 1e-5,
+    max_steps: int = 256,
+) -> jax.Array:
+    """Adaptive Dormand-Prince RK45 over t in [0, 1] with a PI step
+    controller — the reference's optional torchode/Tsit5 path
+    (reference: cfm_superresolution.py:259-276, off by default). Runs as a
+    ``lax.while_loop`` with a static step bound so it stays one XLA program.
+    """
+    # Dormand-Prince 5(4) tableau
+    c = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+    a = [
+        [],
+        [1 / 5],
+        [3 / 40, 9 / 40],
+        [44 / 45, -56 / 15, 32 / 9],
+        [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+        [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+        [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+    ]
+    b5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+    b4 = jnp.array([5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+                    187 / 2100, 1 / 40])
+
+    def rk_step(t, y, h):
+        ks = []
+        for i in range(7):
+            yi = y
+            for j, aij in enumerate(a[i]):
+                yi = yi + h * aij * ks[j]
+            ks.append(f(t + c[i] * h, yi))
+        y5 = y
+        y4 = y
+        for i in range(7):
+            y5 = y5 + h * b5[i] * ks[i]
+            y4 = y4 + h * b4[i] * ks[i]
+        return y5, y5 - y4
+
+    def cond(state):
+        t, y, h, n = state
+        return (t < 1.0) & (n < max_steps)
+
+    def body(state):
+        t, y, h, n = state
+        h = jnp.minimum(h, 1.0 - t)
+        y5, err = rk_step(t, y, h)
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
+        err_norm = jnp.sqrt(jnp.mean(jnp.square(err / scale)))
+        accept = err_norm <= 1.0
+        # PI controller (order 5)
+        factor = jnp.clip(0.9 * (err_norm + 1e-10) ** (-1 / 5), 0.2, 5.0)
+        h_new = h * factor
+        t = jnp.where(accept, t + h, t)
+        y = jax.tree.map(lambda a_, b_: jnp.where(accept, b_, a_), y, y5)
+        return t, y, h_new, n + 1
+
+    t0 = jnp.zeros(())
+    h0 = jnp.asarray(0.05)
+    _, y, _, _ = jax.lax.while_loop(cond, body, (t0, y0, h0, jnp.zeros((), jnp.int32)))
+    return y
+
+
 # --- losses --------------------------------------------------------------------
 
 def cfm_loss(

@@ -81,12 +81,15 @@ class ConditionalFlowMatcherWrapper:
         torchode_method_klass=None,
         cond_drop_prob: float = 0.0,
     ):
-        del ode_atol, ode_rtol, use_torchode, torchode_method_klass
+        del torchode_method_klass
         self.flowhigh = flowhigh
         self.sigma = sigma
         self.cfm_method = cfm_method
         self.ode_method = torchdiffeq_ode_method
         self.cond_drop_prob = cond_drop_prob
+        self.use_adaptive = use_torchode  # adaptive RK45 instead of fixed grid
+        self.ode_atol = ode_atol
+        self.ode_rtol = ode_rtol
 
     def _mel_cfg(self):
         enc = self.flowhigh.audio_enc_dec
@@ -132,7 +135,11 @@ class ConditionalFlowMatcherWrapper:
                 fh.net.apply, fh.params, x, times=t, cond=cond,
                 cond_scale=cond_scale, mask=cond_mask)
 
-        sampled = odeint_fixed(ode_fn, y0, time_steps, self.ode_method)
+        if self.use_adaptive:
+            from .cfm import odeint_adaptive
+            sampled = odeint_adaptive(ode_fn, y0, self.ode_atol, self.ode_rtol)
+        else:
+            sampled = odeint_fixed(ode_fn, y0, time_steps, self.ode_method)
         if mel_pp:
             sampled = mel_replace(sampled, cond, cutoff)
         if not decode_to_audio or fh.audio_enc_dec is None:

@@ -1,10 +1,12 @@
 from .optimizer import make_optimizer, lr_schedule
-from .data import AudioDataset, SyntheticAudioDataset, batch_iterator
+from .data import (AudioDataset, SyntheticAudioDataset, VocoderSegmentDataset,
+                   batch_iterator, scan_checkpoints)
 from .trainer import Trainer, TrainState
 
 __all__ = [
     "make_optimizer", "lr_schedule",
-    "AudioDataset", "SyntheticAudioDataset", "batch_iterator",
+    "AudioDataset", "SyntheticAudioDataset", "VocoderSegmentDataset",
+    "batch_iterator", "scan_checkpoints",
     "Trainer", "TrainState",
 ]
 

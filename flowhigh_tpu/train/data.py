@@ -178,3 +178,40 @@ def batch_iterator(
             yield q.get()
     finally:
         stop.set()
+
+
+class VocoderSegmentDataset:
+    """Random fixed-length 48 kHz segments for vocoder GAN training
+    (reference: src/flowhigh/models/bigvgan/meldataset.py:99-202 — the mel
+    pair is computed on device by VocoderTrainer, not here)."""
+
+    def __init__(self, source, segment_samples: int = 15360, seed: int = 0):
+        """``source``: an AudioDataset/SyntheticAudioDataset-like object whose
+        items have a 48 kHz 'wave' field."""
+        self.source = source
+        self.segment_samples = segment_samples
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.source)
+
+    def __getitem__(self, idx: int) -> dict:
+        rng = np.random.default_rng(self.seed * 99991 + idx)
+        wave = self.source[idx]["wave"]
+        n = self.segment_samples
+        if len(wave) >= n:
+            start = int(rng.integers(0, len(wave) - n + 1))
+            seg = wave[start : start + n]
+        else:
+            seg = np.pad(wave, (0, n - len(wave)))
+        return {"wave": seg.astype(np.float32), "length": n,
+                "cond": seg.astype(np.float32), "random_sr": 48000}
+
+
+def scan_checkpoints(folder, prefix: str = "FLowHigh."):
+    """Latest torch-layout checkpoint in a results folder
+    (reference: src/flowhigh/models/bigvgan/utils.py:57-76)."""
+    from pathlib import Path
+    cands = sorted(Path(folder).glob(f"{prefix}*.pt"),
+                   key=lambda p: int("".join(filter(str.isdigit, p.stem)) or 0))
+    return cands[-1] if cands else None

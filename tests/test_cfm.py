@@ -234,3 +234,36 @@ class TestFreqMask:
             jnp.array([30, 20]), method="independent_cfm_adaptive", sigma=1e-4,
             out_size=16, cond_freq_masking=True)
         assert np.isfinite(float(loss))
+
+
+class TestAdaptiveSolver:
+    def test_matches_scipy_solve_ivp(self):
+        from flowhigh_tpu.cfm import odeint_adaptive
+        import scipy.integrate as si
+        # stiff-ish nonlinear scalar ODE: y' = -2y + sin(10t)
+        f = lambda t, y: -2 * y + jnp.sin(10 * t)
+        got = float(odeint_adaptive(f, jnp.ones((1,)), 1e-7, 1e-7)[0])
+        ref = si.solve_ivp(lambda t, y: -2 * y + np.sin(10 * t), (0, 1), [1.0],
+                           rtol=1e-9, atol=1e-9).y[0, -1]
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_matches_fixed_grid_on_linear_field(self, rng):
+        from flowhigh_tpu.cfm import odeint_adaptive
+        # CFM-like linear field: adaptive and dense fixed grid should agree
+        a = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32) * 0.5)
+        f = lambda t, y: a - y * 0.3
+        y0 = jnp.zeros((4, 8))
+        fixed = odeint_fixed(f, y0, 200, "midpoint")
+        adap = odeint_adaptive(f, y0, 1e-6, 1e-6)
+        np.testing.assert_allclose(np.asarray(adap), np.asarray(fixed), atol=1e-4)
+
+    def test_wrapper_use_torchode_flag(self, rng):
+        from flowhigh_tpu import ConditionalFlowMatcherWrapper, FLowHigh
+        fh = FLowHigh(dim_in=8, dim=16, depth=2, dim_head=4, heads=2)
+        fh.init_params(jax.random.PRNGKey(0))
+        w = ConditionalFlowMatcherWrapper(fh, use_torchode=True,
+                                          cfm_method="basic_cfm")
+        cond = jnp.asarray(rng.standard_normal((1, 12, 8)).astype(np.float32))
+        mel = w.sample(cond=cond, decode_to_audio=False)
+        assert mel.shape == (1, 12, 8)
+        assert np.isfinite(np.asarray(mel)).all()

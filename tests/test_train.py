@@ -180,3 +180,30 @@ class TestMelVocoRefKwargs:
                     n_fft=2048, win_length=2048, hop_length=480)
         assert v.n_mels == 256 and v.hop_length == 480
         assert v.latent_dim == 256
+
+
+class TestVocoderDataAndScan:
+    def test_segment_dataset(self):
+        from flowhigh_tpu.train import SyntheticAudioDataset, VocoderSegmentDataset
+        src = SyntheticAudioDataset(n_items=3, seconds=1.0)
+        ds = VocoderSegmentDataset(src, segment_samples=9600)
+        it = ds[0]
+        assert it["wave"].shape == (9600,)
+        assert np.isfinite(it["wave"]).all()
+
+    def test_scan_checkpoints(self, tmp_path):
+        from flowhigh_tpu.train import scan_checkpoints
+        assert scan_checkpoints(tmp_path) is None
+        for step in [100, 2000, 50]:
+            (tmp_path / f"FLowHigh.{step}.pt").touch()
+        assert scan_checkpoints(tmp_path).name == "FLowHigh.2000.pt"
+
+    def test_bf16_train_step(self, tiny_batch):
+        from flowhigh_tpu.config import ModelConfig, TrainConfig
+        cfg = TINY_CFG.replace(model=ModelConfig(
+            dim_in=256, dim=32, depth=2, heads=2, dim_head=8,
+            compute_dtype="bfloat16"))
+        tr = Trainer(cfg, mesh=make_mesh(n_data=2, n_model=1))
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, m = tr.train_step(state, tiny_batch)
+        assert np.isfinite(float(m["loss"]))
