@@ -116,3 +116,29 @@ class TestPhasePostProcess:
         assert np.isfinite(out).all()
         c = np.corrcoef(out[0, 2048:-2048], src[2048:-2048])[0, 1]
         assert abs(c) > 0.8
+
+
+class TestReferenceConfigLoading:
+    def test_loads_actual_reference_config(self):
+        from flowhigh_tpu.config import FlowHighConfig
+        import pathlib
+        ref = pathlib.Path("/root/reference/configs/config.json")
+        if not ref.exists():
+            pytest.skip("reference not mounted")
+        cfg = FlowHighConfig.from_reference_json(ref)
+        # values pinned by the reference config (configs/config.json:1-45)
+        assert cfg.mel.sampling_rate == 48000
+        assert cfg.mel.n_fft == 2048 and cfg.mel.hop_length == 480
+        assert cfg.mel.n_mels == 256
+        assert cfg.mel.f_min == 20 and cfg.mel.f_max == 24000
+        assert cfg.model.architecture == "transformer"
+        assert cfg.model.dim == 1024 and cfg.model.depth == 2
+        assert cfg.model.heads == 16 and cfg.model.dim_head == 64
+        assert cfg.cfm.cfm_method == "independent_cfm_adaptive"
+        assert cfg.cfm.sigma == pytest.approx(1e-4)
+        assert cfg.train.batch_size == 128
+        assert cfg.train.lr == pytest.approx(3e-4)
+        assert cfg.train.num_train_steps == 400001
+        assert cfg.data.downsample_min == 4000
+        assert cfg.data.downsample_max == 32000
+        assert cfg.train.random_seed == 104
