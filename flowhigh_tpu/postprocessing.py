@@ -49,7 +49,7 @@ def post_process(
 
     audio = istft(spec_out, n_fft, hop_length, n_fft, length=length)
     peak = jnp.max(jnp.abs(audio), axis=-1, keepdims=True)
-    return audio / peak * 0.99
+    return audio / jnp.maximum(peak, 1e-8) * 0.99
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -89,4 +89,4 @@ def post_process_with_phase(
 
     audio = istft(spec_out, n_fft, hop_length, n_fft, length=length)
     peak = jnp.max(jnp.abs(audio), axis=-1, keepdims=True)
-    return audio / peak * 0.99
+    return audio / jnp.maximum(peak, 1e-8) * 0.99

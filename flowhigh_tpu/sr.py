@@ -201,7 +201,8 @@ class FlowHighSR:
         t48 = cond.shape[-1]
         valid = jnp.arange(t48)[None, :] < n_valid48[:, None]
         cond = jnp.where(valid, cond, 0.0)
-        cond = cond / jnp.max(jnp.abs(cond), axis=-1, keepdims=True)
+        peak = jnp.max(jnp.abs(cond), axis=-1, keepdims=True)
+        cond = cond / jnp.maximum(peak, 1e-8)  # silence-safe
 
         cond_mel = mel_encode(cond, self.config.mel)       # [B, F, 256]
         n_frames = cond_mel.shape[1]

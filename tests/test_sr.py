@@ -176,3 +176,29 @@ class TestBatchedServing:
         outs = tiny_sr.generate_batch([a], 16000, timestep=2)
         assert np.isfinite(outs[0]).all()
         tiny_sr.ode_method = "euler"
+
+
+class TestEdgeCases:
+    def test_441khz_input(self, tiny_sr, rng):
+        # non-integer ratio (160/147): the awkward-rate path
+        audio = (rng.standard_normal(44100) * 0.3).astype(np.float32)
+        out = tiny_sr.generate(audio, sr=44100, timestep=1)
+        assert out.shape == (1, 48000)
+        assert np.isfinite(out).all()
+
+    def test_very_short_clip(self, tiny_sr, rng):
+        audio = (rng.standard_normal(1600) * 0.3).astype(np.float32)  # 0.1 s
+        out = tiny_sr.generate(audio, sr=16000, timestep=1)
+        assert out.shape == (1, 4800)
+        assert np.isfinite(out).all()
+
+    def test_silence_input(self, tiny_sr):
+        audio = np.zeros(16000, np.float32)
+        out = tiny_sr.generate(audio, sr=16000, timestep=1)
+        # peak-norm of silence must not NaN out
+        assert np.isfinite(out).all()
+
+    def test_timestep_greater_than_one(self, tiny_sr, rng):
+        audio = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+        out = tiny_sr.generate(audio, sr=16000, timestep=4)
+        assert np.isfinite(out).all()
