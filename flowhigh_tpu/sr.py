@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cfm import mel_cutoff_bins, mel_replace, odeint_fixed, sample_prior
+from .cfm import (mel_cutoff_bins, mel_replace, odeint_adaptive, odeint_fixed,
+                  sample_prior)
 from .config import FlowHighConfig
 from .dsp import resample_poly
 from .models import MelVoco, VectorFieldNet, forward_with_cond_scale, mel_encode
@@ -76,11 +77,18 @@ class FlowHighSR:
         cond_drop_prob: float = 0.0,
         upsampling_method: str = "scipy",
         fused_vocoder: bool = False,
+        use_torchode: bool = False,
+        ode_atol: float = 1e-5,
+        ode_rtol: float = 1e-5,
     ):
         self.config = config
         self.cfm_method = cfm_method or config.cfm.cfm_method
         self.sigma = config.cfm.sigma if sigma is None else sigma
         self.ode_method = ode_method or config.cfm.ode_method
+        if use_torchode:  # reference flag name; here: adaptive RK45
+            self.ode_method = "adaptive"
+        self.ode_atol = ode_atol
+        self.ode_rtol = ode_rtol
         self.cond_drop_prob = cond_drop_prob
         self.upsampling_method = upsampling_method
 
@@ -134,7 +142,10 @@ class FlowHighSR:
                 cond_scale=cond_scale, mask=mask)
 
         y0 = sample_prior(rng, cfm_method, cond_mel, std_1, std_2, cutoff)
-        sampled = odeint_fixed(ode_fn, y0, time_steps, ode_method)
+        if ode_method == "adaptive":
+            sampled = odeint_adaptive(ode_fn, y0, self.ode_atol, self.ode_rtol)
+        else:
+            sampled = odeint_fixed(ode_fn, y0, time_steps, ode_method)
 
         if mel_pp:
             sampled = mel_replace(sampled, cond_mel, cutoff)
@@ -217,7 +228,10 @@ class FlowHighSR:
                 cond_scale=1.0, mask=frame_mask)
 
         y0 = sample_prior(rng, cfm_method, cond_mel, std_1, std_2, cutoff)
-        sampled = odeint_fixed(ode_fn, y0, time_steps, ode_method)
+        if ode_method == "adaptive":
+            sampled = odeint_adaptive(ode_fn, y0, self.ode_atol, self.ode_rtol)
+        else:
+            sampled = odeint_fixed(ode_fn, y0, time_steps, ode_method)
         hr = self.melvoco.vocoder.apply(vocoder_params, sampled)  # [1, F*hop]
 
         # length-align vocoded audio with the upsampled source

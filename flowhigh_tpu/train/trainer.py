@@ -161,6 +161,12 @@ class Trainer:
 
     # -- loop -------------------------------------------------------------------
 
+    def latest_checkpoint(self) -> Optional[Path]:
+        """Most recent orbax checkpoint in the results folder (by step)."""
+        cands = sorted(self.results_folder.glob("orbax_*"),
+                       key=lambda p: int(p.name.split("_")[-1]))
+        return cands[-1] if cands else None
+
     def fit(
         self,
         data_iter: Iterator[dict],
@@ -169,13 +175,35 @@ class Trainer:
         log_every: Optional[int] = None,
         save_every: Optional[int] = None,
         log_fn=print,
+        auto_resume: bool = False,
+        tensorboard: bool = False,
     ) -> TrainState:
+        """``auto_resume``: restart from the newest checkpoint in the results
+        folder if one exists — preemption-safe training (the reference's
+        recovery is a manual path argument, trainer.py:342-351)."""
         cfg = self.config.train
         num_steps = num_steps or cfg.num_train_steps
         log_every = log_every or cfg.log_every
         save_every = save_every or cfg.save_model_every
         if state is None:
             state = self.init_state(jax.random.PRNGKey(cfg.random_seed))
+            if auto_resume:
+                ckpt = self.latest_checkpoint()
+                if ckpt is not None:
+                    step = int(ckpt.name.split("_")[-1])
+                    log_fn(f"[train] auto-resuming from {ckpt} (step {step})")
+                    state = state.replace(
+                        params=self.load_params(ckpt),
+                        step=jnp.asarray(step, jnp.int32))
+
+        tb_writer = None
+        if tensorboard:
+            try:
+                import tensorflow as tf
+                tb_writer = tf.summary.create_file_writer(
+                    str(self.results_folder / "tb"))
+            except ImportError:
+                log_fn("[train] tensorboard requested but tensorflow missing")
 
         self.results_folder.mkdir(parents=True, exist_ok=True)
         metrics_path = self.results_folder / "metrics.jsonl"
@@ -193,6 +221,12 @@ class Trainer:
                 log_fn(f"[train] {line}")
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(line) + "\n")
+                if tb_writer is not None:
+                    import tensorflow as tf
+                    with tb_writer.as_default():
+                        # reference scalar names (trainer.py:305-308)
+                        tf.summary.scalar("training/cfm_loss", loss, step=i + 1)
+                        tf.summary.scalar("training/lr", lr, step=i + 1)
             if save_every and (i + 1) % save_every == 0:
                 self.save(state)
         return state

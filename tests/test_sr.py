@@ -202,3 +202,15 @@ class TestEdgeCases:
         audio = (rng.standard_normal(16000) * 0.3).astype(np.float32)
         out = tiny_sr.generate(audio, sr=16000, timestep=4)
         assert np.isfinite(out).all()
+
+
+class TestAdaptiveSolverInSR:
+    def test_use_torchode_flag(self, rng):
+        m = FlowHighSR(TINY, cfm_method="independent_cfm_adaptive",
+                       use_torchode=True, ode_atol=1e-3, ode_rtol=1e-3)
+        m.init_params(jax.random.PRNGKey(0))
+        assert m.ode_method == "adaptive"
+        audio = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+        out = m.generate(audio, sr=8000, timestep=1)
+        assert out.shape == (1, 48000)
+        assert np.isfinite(out).all()

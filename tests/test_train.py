@@ -207,3 +207,22 @@ class TestVocoderDataAndScan:
         state = tr.init_state(jax.random.PRNGKey(0))
         state, m = tr.train_step(state, tiny_batch)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestAutoResume:
+    def test_fit_auto_resumes_from_latest(self, tiny_batch, tmp_path):
+        tr = Trainer(TINY_CFG, mesh=make_mesh(n_data=1, n_model=1),
+                     results_folder=tmp_path)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, _ = tr.train_step(state, tiny_batch)
+        state, _ = tr.train_step(state, tiny_batch)
+        tr.save(state)
+        # fresh trainer, auto_resume picks up step 2 and continues to 4
+        tr2 = Trainer(TINY_CFG, mesh=make_mesh(n_data=1, n_model=1),
+                      results_folder=tmp_path)
+        it = iter(lambda: tiny_batch, None)
+        logs = []
+        final = tr2.fit(it, num_steps=4, log_every=1, save_every=0,
+                        log_fn=logs.append, auto_resume=True)
+        assert int(final.step) == 4
+        assert any("auto-resuming" in str(l) for l in logs)
