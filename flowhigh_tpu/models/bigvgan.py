@@ -184,14 +184,19 @@ class Activation1d(nn.Module):
     activation: str = "snakebeta"  # snake | snakebeta
     logscale: bool = True
     fused: bool = False  # Pallas fused up2->snake->down2 (ops/fused_act.py)
+    packed_p: int = 1    # >1: input/output are space-to-depth packed [B,T/p,p*C]
 
     @nn.compact
-    def __call__(self, x):  # [B, T, C]
+    def __call__(self, x):  # [B, T, C] (or [B, T/p, p*C] when packed_p > 1)
         init = nn.initializers.zeros if self.logscale else nn.initializers.ones
         alpha = self.param("alpha", init, (self.channels,))
         beta = None
         if self.activation == "snakebeta":
             beta = self.param("beta", init, (self.channels,))
+        if self.packed_p > 1:
+            from ..ops.packed import packed_snake_activation1d
+            return packed_snake_activation1d(x, alpha, beta, self.logscale,
+                                             self.packed_p)
         if self.fused:
             from ..ops import fused_snake_activation1d
             return fused_snake_activation1d(x, alpha, beta, self.logscale)
@@ -214,26 +219,45 @@ class AMPBlock1(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
     mxu_convs: bool = False
+    packed_p: int = 1          # >1: run on space-to-depth packed features
+    conv_dtype: Optional[jnp.dtype] = None  # packed-conv contraction dtype
+    pallas_convs: bool = False  # Pallas MXU conv kernel (serving fast path)
+
+    def _conv(self, xt, w, b, pad, dil, residual=None):
+        if self.pallas_convs:
+            from ..ops.packed import pallas_packed_conv1d
+            # f32 dots measured as fast as bf16 here (the kernel is HBM
+            # bandwidth-bound, not MXU-bound) — default to exact f32
+            return pallas_packed_conv1d(
+                xt, w.astype(self.dtype), b, pad=pad, dilation=dil,
+                p=self.packed_p, residual=residual,
+                dot_dtype=self.conv_dtype or jnp.float32)
+        if self.packed_p > 1:
+            from ..ops.packed import packed_conv1d
+            y = packed_conv1d(xt, w.astype(self.dtype), b, pad=pad,
+                              dilation=dil, p=self.packed_p,
+                              conv_dtype=self.conv_dtype)
+        else:
+            y = conv1d(xt.astype(self.dtype), w.astype(self.dtype), b,
+                       padding=pad, dilation=dil, mxu=self.mxu_convs)
+        return y if residual is None else y + residual
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         for j, d in enumerate(self.dilations):
             xt = Activation1d(self.channels, self.activation, self.logscale,
-                              self.fused, name=f"act1_{j}")(x)
+                              self.fused, self.packed_p, name=f"act1_{j}")(x)
             w = self.param(f"convs1_{j}_kernel", nn.initializers.lecun_normal(),
                            (k, self.channels, self.channels))
             b = self.param(f"convs1_{j}_bias", nn.initializers.zeros, (self.channels,))
-            xt = conv1d(xt.astype(self.dtype), w.astype(self.dtype), b,
-                        padding=(k * d - d) // 2, dilation=d, mxu=self.mxu_convs)
+            xt = self._conv(xt, w, b, (k * d - d) // 2, d)
             xt = Activation1d(self.channels, self.activation, self.logscale,
-                              self.fused, name=f"act2_{j}")(xt)
+                              self.fused, self.packed_p, name=f"act2_{j}")(xt)
             w2 = self.param(f"convs2_{j}_kernel", nn.initializers.lecun_normal(),
                             (k, self.channels, self.channels))
             b2 = self.param(f"convs2_{j}_bias", nn.initializers.zeros, (self.channels,))
-            xt = conv1d(xt.astype(self.dtype), w2.astype(self.dtype), b2,
-                        padding=(k - 1) // 2, mxu=self.mxu_convs)
-            x = xt + x
+            x = self._conv(xt, w2, b2, (k - 1) // 2, 1, residual=x)
         return x
 
 
@@ -246,18 +270,26 @@ class AMPBlock2(nn.Module):
     logscale: bool
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
+    packed_p: int = 1
+    conv_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         for j, d in enumerate(self.dilations):
             xt = Activation1d(self.channels, self.activation, self.logscale,
-                              self.fused, name=f"act_{j}")(x)
+                              self.fused, self.packed_p, name=f"act_{j}")(x)
             w = self.param(f"convs_{j}_kernel", nn.initializers.lecun_normal(),
                            (k, self.channels, self.channels))
             b = self.param(f"convs_{j}_bias", nn.initializers.zeros, (self.channels,))
-            xt = conv1d(xt.astype(self.dtype), w.astype(self.dtype), b,
-                        padding=(k * d - d) // 2, dilation=d)
+            if self.packed_p > 1:
+                from ..ops.packed import packed_conv1d
+                xt = packed_conv1d(xt, w.astype(self.dtype), b,
+                                   pad=(k * d - d) // 2, dilation=d,
+                                   p=self.packed_p, conv_dtype=self.conv_dtype)
+            else:
+                xt = conv1d(xt.astype(self.dtype), w.astype(self.dtype), b,
+                            padding=(k * d - d) // 2, dilation=d)
             x = xt + x
         return x
 
@@ -269,6 +301,19 @@ class BigVGAN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused_act: bool = False  # use the Pallas fused snake activation
     mxu_convs: bool = False  # lower resblock convs as shifted matmuls
+    packed: bool = False     # space-to-depth MRF for narrow-channel stages
+    conv_dtype: Optional[jnp.dtype] = None  # packed-conv MXU dtype (e.g. bf16)
+    pallas_convs: bool = False  # resblock convs via the Pallas MXU kernel
+
+    def _pack_factor(self, ch: int, t: int) -> int:
+        """Smallest power-of-two p with ch*p >= 256 (full lane tiles); 1 when
+        the stage is already wide or t doesn't divide."""
+        if not self.packed:
+            return 1
+        p = 1
+        while ch * p < 256:
+            p *= 2
+        return p if (p > 1 and t % p == 0) else 1
 
     @nn.compact
     def __call__(self, mel: jax.Array) -> jax.Array:
@@ -290,23 +335,41 @@ class BigVGAN(nn.Module):
             bt = self.param(f"ups_{i}_bias", nn.initializers.zeros, (ch_out,))
             x = conv_transpose1d(x.astype(self.dtype), wt.astype(self.dtype),
                                  bt, stride=u, padding=(k - u) // 2)
+            p = self._pack_factor(ch_out, x.shape[1])
+            if p > 1:
+                from ..ops.packed import pack_time
+                x = pack_time(x, p)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
-                extra = ({"mxu_convs": self.mxu_convs}
+                extra = ({"mxu_convs": self.mxu_convs,
+                          "pallas_convs": self.pallas_convs}
                          if block_cls is AMPBlock1 else {})
                 y = block_cls(
                     ch_out, rk, rd, cfg.activation, cfg.snake_logscale,
-                    dtype=self.dtype, fused=self.fused_act, **extra,
+                    dtype=self.dtype, fused=self.fused_act, packed_p=p,
+                    conv_dtype=self.conv_dtype, **extra,
                     name=f"resblocks_{i * num_kernels + j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
+            is_last = i == len(cfg.upsample_rates) - 1
+            if p > 1 and not is_last:  # stay packed through act_post/conv_post
+                from ..ops.packed import unpack_time
+                x = unpack_time(x, p)
+                p = 1
             ch = ch_out
 
         x = Activation1d(ch, cfg.activation, cfg.snake_logscale,
-                         self.fused_act, name="activation_post")(x)
+                         self.fused_act, packed_p=p, name="activation_post")(x)
         w_post = self.param("conv_post_kernel", nn.initializers.lecun_normal(),
                             (7, ch, 1))
         b_post = self.param("conv_post_bias", nn.initializers.zeros, (1,))
-        x = conv1d(x.astype(self.dtype), w_post.astype(self.dtype), b_post, padding=3)
+        if p > 1:
+            from ..ops.packed import packed_conv1d, unpack_time
+            x = packed_conv1d(x, w_post.astype(self.dtype), b_post, pad=3,
+                              dilation=1, p=p, conv_dtype=self.conv_dtype)
+            x = unpack_time(x, p)  # [B, T_wav, 1] — tiny lanes, cheap
+        else:
+            x = conv1d(x.astype(self.dtype), w_post.astype(self.dtype),
+                       b_post, padding=3)
         return jnp.tanh(x.astype(jnp.float32))[..., 0]  # [B, T_wav]

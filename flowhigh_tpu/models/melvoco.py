@@ -42,6 +42,8 @@ class MelVoco:
     def __init__(self, mel_cfg: MelConfig = None,
                  voc_cfg: VocoderConfig = None,
                  vocoder_params=None, dtype=jnp.float32, fused_act: bool = False,
+                 packed: bool = False, conv_dtype=None,
+                 pallas_convs: bool = False,
                  *,
                  # reference constructor surface (melvoco.py:17-31)
                  n_mels=None, sampling_rate=None, f_max=None, f_min=None,
@@ -73,7 +75,9 @@ class MelVoco:
                                                     voc_cfg)
         self.mel_cfg = mel_cfg
         self.voc_cfg = voc_cfg
-        self.vocoder = BigVGAN(voc_cfg, dtype=dtype, fused_act=fused_act)
+        self.vocoder = BigVGAN(voc_cfg, dtype=dtype, fused_act=fused_act,
+                               packed=packed, conv_dtype=conv_dtype,
+                               pallas_convs=pallas_convs)
         self.vocoder_params = vocoder_params
 
     # reference attribute surface (melvoco.py:17-54)

@@ -1,0 +1,438 @@
+"""Space-to-depth ("packed") vocoder ops — the narrow-channel fast path.
+
+The BigVGAN MRF stages at C in {192, 96, 48} dominate the vocoder's runtime
+(reference hot path: src/flowhigh/models/bigvgan/models.py:172-194). On TPU,
+f32 arrays tile as (8 sublanes, 128 lanes), so a [T, 48] feature map is
+physically stored 128 lanes wide — a 2.67x HBM-traffic tax on every one of
+the ~72 elementwise/conv passes per stage (PERF.md round-1 measurements).
+
+The fix: carry those stages space-to-depth packed, [B, T, C] ->
+[B, T/p, p*C] with p*C = 384 (phase-major: lane block m holds time phase m).
+The reshape is layout-free in row-major logic and one relayout copy per
+stage boundary on TPU. In the packed domain:
+
+- dilated/plain convs become *packed convs*: y[p*s + r] = sum_j W[j] ·
+  x[p*s + r + j*d - pad] regroups, with q = floor(e/p), m = e mod p, into a
+  plain stride-1 conv over packed rows whose kernel W'[q, m*Cin:, r*Cout:]
+  holds W[j] blocks (zeros elsewhere). The contraction dim grows from C to
+  p*C = 384 — XLA tiles it onto the MXU instead of the VPU, and the
+  activations carry zero lane padding.
+- the anti-aliased snake activation gets a dedicated packed Pallas kernel
+  (packed_snake_activation1d below): the up/down FIR time-shifts become
+  lane-block rotations with row carry, computed at full 384-lane width.
+
+Numerics are exact (same f32 sums, modulo reassociation); parity is tested
+against the unpacked composition in tests/test_packed.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.bigvgan import (downsample1d, kaiser_sinc_filter1d, snake,
+                              snake_beta, upsample1d)
+
+
+def pack_time(x: jax.Array, p: int) -> jax.Array:
+    """[B, T, C] -> [B, T/p, p*C], phase-major (lane block m = time phase m)."""
+    b, t, c = x.shape
+    assert t % p == 0, (t, p)
+    return x.reshape(b, t // p, p * c)
+
+
+def unpack_time(xp: jax.Array, p: int) -> jax.Array:
+    """[B, S, p*C] -> [B, S*p, C]."""
+    b, s, pc = xp.shape
+    assert pc % p == 0, (pc, p)
+    return xp.reshape(b, s * p, pc // p)
+
+
+# --- packed conv --------------------------------------------------------------
+
+@functools.lru_cache(maxsize=256)
+def _pack_conv_plan(k: int, pad: int, dilation: int, p: int):
+    """Static scatter plan: one-hot O[j, r, q', m] mapping original tap j and
+    output phase r to packed tap q' and input phase m."""
+    e = np.arange(p)[None, :] + np.arange(k)[:, None] * dilation - pad  # [k, p] -> e(j, r)
+    q = e // p
+    m = e - q * p
+    q_min, q_max = int(q.min()), int(q.max())
+    nq = q_max - q_min + 1
+    onehot = np.zeros((k, p, nq, p), np.float32)
+    jj, rr = np.meshgrid(np.arange(k), np.arange(p), indexing="ij")
+    onehot[jj, rr, q[jj, rr] - q_min, m[jj, rr]] = 1.0
+    return onehot, -q_min, q_max
+
+
+def pack_conv_kernel(w: jax.Array, pad: int, dilation: int, p: int):
+    """W [k, Cin, Cout] -> (W' [Q, p*Cin, p*Cout], pad_lo, pad_hi) such that
+    conv(pack(x), W', padding=(pad_lo, pad_hi)) == pack(conv(x, W, pad, dil))."""
+    k, cin, cout = w.shape
+    onehot, pad_lo, pad_hi = _pack_conv_plan(k, pad, dilation, p)
+    nq = onehot.shape[2]
+    wp = jnp.einsum("jrqm,jio->qmiro", jnp.asarray(onehot), w)
+    return wp.reshape(nq, p * cin, p * cout), pad_lo, pad_hi
+
+
+def packed_conv1d(xp: jax.Array, w: jax.Array, b: Optional[jax.Array], *,
+                  pad: int, dilation: int, p: int,
+                  conv_dtype=None) -> jax.Array:
+    """Packed-domain conv: xp [B, S, p*Cin], w [k, Cin, Cout] (original layout),
+    bias b [Cout]. Equals pack(conv1d(unpack(xp), w, b, padding=pad,
+    dilation=dilation), p).
+
+    ``conv_dtype=jnp.bfloat16`` runs the MXU contraction in bf16 with f32
+    accumulation (weights + activations cast inside the conv; output f32).
+    """
+    wp, pad_lo, pad_hi = pack_conv_kernel(w, pad, dilation, p)
+    dt = conv_dtype or xp.dtype
+    y = jax.lax.conv_general_dilated(
+        xp.astype(dt), wp.astype(dt), (1,), [(pad_lo, pad_hi)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    ).astype(xp.dtype)
+    if b is not None:
+        y = y + jnp.tile(b, p).astype(y.dtype)
+    return y
+
+
+# --- packed conv as a Pallas MXU kernel ---------------------------------------
+#
+# XLA's TPU lowering of these 1-D NHC convs picks T(1,128) output layouts and
+# runs at 16-27 GB/s (profiled) — ~4x off the HBM roofline even for the wide
+# stages. The Pallas kernel keeps everything T(8,128) and expresses the conv
+# as a loop of [s_t, pC] @ [pC, c_blk] MXU dots over the *nonzero* packed
+# taps (for p=1 and dilation d that is exactly the k original taps, not the
+# (k-1)d+1 dense ones).
+
+
+@functools.lru_cache(maxsize=256)
+def _nonzero_taps(k: int, pad: int, dilation: int, p: int):
+    """Offsets (relative packed-row shifts) of taps with any nonzero block."""
+    onehot, pad_lo, pad_hi = _pack_conv_plan(k, pad, dilation, p)
+    nz = np.flatnonzero(onehot.sum(axis=(0, 1, 3)) > 0)
+    return tuple(int(q) - pad_lo for q in nz), tuple(int(q) for q in nz), pad_lo, pad_hi
+
+
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _make_conv_kernel(offsets, s_t: int, p8: int, c_blk: int, dot_dtype):
+    def kernel(cur_ref, prev_ref, nxt_ref, w_ref, b_ref, *rest):
+        res_ref, out_ref = rest if len(rest) == 2 else (None, rest[0])
+        ext = jnp.concatenate(
+            [prev_ref[0], cur_ref[0], nxt_ref[0]], axis=0).astype(dot_dtype)
+        acc = jnp.zeros((s_t, c_blk), jnp.float32)
+        for qi, off in enumerate(offsets):
+            acc = acc + jax.lax.dot_general(
+                ext[p8 + off : p8 + off + s_t, :], w_ref[qi],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc = acc + b_ref[0, :].astype(jnp.float32)
+        if res_ref is not None:
+            acc = acc + res_ref[0].astype(jnp.float32)
+        out_ref[0, :, :] = acc.astype(out_ref.dtype)
+
+    return kernel
+
+
+def pallas_packed_conv1d(xp: jax.Array, w: jax.Array, b: Optional[jax.Array],
+                         *, pad: int, dilation: int, p: int,
+                         residual: Optional[jax.Array] = None,
+                         dot_dtype=jnp.float32,
+                         interpret: bool = False) -> jax.Array:
+    """Same contract as packed_conv1d (+ optional fused residual add), computed
+    by a Pallas kernel: per (cout-block, time-tile), Qnz MXU dots with f32
+    accumulation. ``dot_dtype`` is the MXU input precision (weights and
+    activations are cast on the fly; bf16 is ~8x f32 MXU throughput).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    bsz, s, pcin = xp.shape
+    k, cin, cout = w.shape
+    assert pcin == p * cin, (xp.shape, w.shape, p)
+    pcout = p * cout
+
+    rel_offsets, nz_idx, pad_lo, pad_hi = _nonzero_taps(k, pad, dilation, p)
+    wp, _, _ = pack_conv_kernel(w, pad, dilation, p)  # [Q, pC, pCout]
+    wnz = wp[jnp.asarray(nz_idx)].astype(dot_dtype)   # [Qnz, pC, pCout]
+    bias = (jnp.tile(b, p) if b is not None
+            else jnp.zeros((pcout,), jnp.float32)).reshape(1, pcout)
+
+    p8 = _round8(pad_lo)
+    n8 = _round8(pad_hi)
+
+    s_t = _pick_rows(s, cap=256)
+    if s_t == 0:  # zero-pad rows (= the conv's own zero padding) and slice
+        s_pad = -(-max(64, s) // 8) * 8
+        xq = jnp.pad(xp, ((0, 0), (0, s_pad - s), (0, 0)))
+        rq = (jnp.pad(residual, ((0, 0), (0, s_pad - s), (0, 0)))
+              if residual is not None else None)
+        return pallas_packed_conv1d(
+            xq, w, b, pad=pad, dilation=dilation, p=p, residual=rq,
+            dot_dtype=dot_dtype, interpret=interpret)[:, :s, :]
+    n_tiles = s // s_t
+
+    # halo strips at packed-row granularity; rows outside [0, s) zeroed here
+    # (the conv's zero padding) with a static mask
+    ip = np.arange(n_tiles)[:, None] * s_t - p8 + np.arange(p8)[None, :]
+    inx = (np.arange(n_tiles)[:, None] + 1) * s_t + np.arange(n8)[None, :]
+    mp = ((ip >= 0) & (ip < s)).reshape(-1, 1).astype(np.float32)
+    mn = ((inx >= 0) & (inx < s)).reshape(-1, 1).astype(np.float32)
+    prev = xp[:, np.clip(ip, 0, s - 1).reshape(-1), :] * jnp.asarray(mp)
+    nxt = xp[:, np.clip(inx, 0, s - 1).reshape(-1), :] * jnp.asarray(mn)
+    prev = prev.reshape(bsz, n_tiles * p8, pcin)
+    nxt = nxt.reshape(bsz, n_tiles * n8, pcin)
+
+    # cout block: largest divisor of pcout whose weight block fits a VMEM
+    # budget (double-buffered alongside the x/out blocks)
+    itemsize = jnp.dtype(dot_dtype).itemsize
+    c_blk = pcout
+    for cand in (pcout, 512, 384, 256, 128):
+        if cand <= pcout and pcout % cand == 0:
+            c_blk = cand
+            if len(rel_offsets) * pcin * cand * itemsize <= 7 * 2**20:
+                break
+    n_cb = pcout // c_blk
+
+    kernel = _make_conv_kernel(rel_offsets, s_t, p8, c_blk, dot_dtype)
+    in_specs = [
+        pl.BlockSpec((1, s_t, pcin), lambda b_, j, i: (b_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p8, pcin), lambda b_, j, i: (b_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n8, pcin), lambda b_, j, i: (b_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((len(rel_offsets), pcin, c_blk),
+                     lambda b_, j, i: (0, 0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c_blk), lambda b_, j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xp, prev, nxt, wnz, bias]
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((1, s_t, c_blk),
+                                     lambda b_, j, i: (b_, i, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual)
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, s, pcout), xp.dtype),
+        grid=(bsz, n_cb, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, s_t, c_blk), lambda b_, j, i: (b_, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+    return y
+
+
+# --- packed anti-aliased snake activation (Pallas) ----------------------------
+
+_H = 8  # halo rows each side (sublane-aligned; logical need is <= 5 rows)
+_PATCH = 8  # unpacked output rows recomputed exactly at each sequence edge
+
+
+def _act_filters():
+    h = kaiser_sinc_filter1d(0.25, 0.3, 12).astype(np.float32)
+    return h, 2.0 * h[0::2], 2.0 * h[1::2]
+
+
+def _reference_act(x, alpha, beta, logscale):
+    u = upsample1d(x, 2, 12)
+    if beta is not None:
+        s = snake_beta(u, alpha, beta, logscale)
+    else:
+        s = snake(u, alpha, logscale)
+    return downsample1d(s, 2, 12)
+
+
+def _snake_packed(u, alpha, beta):
+    # alpha/beta pre-exp'd, tiled to p*C lanes; cos form: one transcendental
+    half_inv_b = 0.5 / (beta + 1e-9)
+    return u + half_inv_b - half_inv_b * jnp.cos(u * (2.0 * alpha))
+
+
+def _make_packed_kernel(s_t: int, p: int, c: int):
+    import jax.experimental.pallas as pl  # noqa: F401  (kernel context)
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, we, wo = _act_filters()
+    pc = p * c
+
+    def make_shifter(arr, base: int):
+        """Unpacked-sample shifts over ``arr`` (packed rows from ``base``):
+        ush(delta, row0, n)[s, m*c:] = unpacked[p*(row0+s) + m + delta].
+
+        Mosaic can't lane-concat slices with mismatched sublane offsets, so
+        each distinct lane shift is one cached full-array circular roll; the
+        wrapped lanes are then taken from the next row via a lane-index
+        select.
+        """
+        cache = {}
+
+        def rolled(rm: int):
+            if rm not in cache:
+                cache[rm] = pltpu.roll(arr, pc - c * rm, 1)
+            return cache[rm]
+
+        def ush(delta: int, row0: int, n: int):
+            q, rm = divmod(delta, p)
+            i0 = row0 + q - base
+            if rm == 0:
+                return arr[i0 : i0 + n, :]
+            r = rolled(rm)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (n, pc), 1)
+            return jnp.where(lane < pc - c * rm, r[i0 : i0 + n, :],
+                             r[i0 + 1 : i0 + 1 + n, :])
+
+        return ush
+
+    def kernel(cur_ref, prev_ref, nxt_ref, ab_ref, out_ref):
+        ext = jnp.concatenate(
+            [prev_ref[0].astype(jnp.float32),
+             cur_ref[0].astype(jnp.float32),
+             nxt_ref[0].astype(jnp.float32)], axis=0)  # rows -H .. s_t+H
+
+        alpha = ab_ref[0, :]
+        beta = ab_ref[1, :]
+
+        # se/so over packed rows -2 .. s_t+1 (enough for down shifts at p>=2)
+        n_s = s_t + 4
+        ush_x = make_shifter(ext, -_H)
+        se = jnp.zeros((n_s, pc), jnp.float32)
+        so = jnp.zeros((n_s, pc), jnp.float32)
+        for d in range(-3, 4):  # build each shift once, MAC, let it die
+            sh = ush_x(d, -2, n_s)
+            if -3 <= d <= 2:
+                se = se + we[d + 3] * sh
+            if -2 <= d <= 3:
+                so = so + wo[d + 2] * sh
+        se = _snake_packed(se, alpha, beta)
+        so = _snake_packed(so, alpha, beta)
+
+        ush_se = make_shifter(se, -2)
+        ush_so = make_shifter(so, -2)
+        y = jnp.zeros((s_t, pc), jnp.float32)
+        for m in range(-2, 4):
+            y = y + h[2 * m + 5] * ush_se(m, 0, s_t)
+        for m in range(-3, 3):
+            y = y + h[2 * m + 6] * ush_so(m, 0, s_t)
+        out_ref[0, :, :] = y.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _pick_rows(s: int, cap: int = 512) -> int:
+    """Largest multiple-of-8 divisor of s up to cap; 0 if none."""
+    for cand in range(min(cap, s), 7, -8):
+        if s % cand == 0:
+            return cand
+    return 0
+
+
+def packed_snake_activation1d(xp: jax.Array, alpha: jax.Array,
+                              beta: Optional[jax.Array], logscale: bool,
+                              p: int, interpret: bool = False) -> jax.Array:
+    """Fused 2x-up -> snake(beta) -> 2x-down on a packed feature map.
+
+    xp: [B, S, p*C]; alpha/beta: [C]. Equals
+    pack(downsample2(snake(upsample2(unpack(xp)))), p) — the unfused
+    composition of models/bigvgan.py:128-177 — to f32 reassociation.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    bsz, s, pc = xp.shape
+    c = pc // p
+    t = s * p
+    a = jnp.exp(alpha) if logscale else alpha
+    bb = (jnp.exp(beta) if logscale else beta) if beta is not None else a
+    ab = jnp.stack([jnp.tile(a, p), jnp.tile(bb, p)]).astype(jnp.float32)
+
+    s_t = _pick_rows(s)
+    if s_t == 0:  # pad rows with broadcast last-sample content and recurse
+        s_pad = -(-max(64, s) // 8) * 8
+        last = xp[:, -1:, -c:]  # last unpacked sample [B, 1, C]
+        fill = jnp.tile(last, (1, s_pad - s, p))
+        return packed_snake_activation1d(
+            jnp.concatenate([xp, fill], axis=1), alpha, beta, logscale, p,
+            interpret)[:, :s, :]
+    n_tiles = s // s_t
+
+    # halo strips, gathered at *packed-row* granularity with clamped indices.
+    # Sequence-edge rows carry period-p (wrong) replicate content — only the
+    # first/last _PATCH unpacked outputs can see it, and those are recomputed
+    # exactly below.
+    idx_prev = np.clip(np.arange(n_tiles)[:, None] * s_t - _H
+                       + np.arange(_H)[None, :], 0, s - 1).reshape(-1)
+    idx_next = np.clip((np.arange(n_tiles)[:, None] + 1) * s_t
+                       + np.arange(_H)[None, :], 0, s - 1).reshape(-1)
+    prev = xp[:, idx_prev, :].reshape(bsz, n_tiles * _H, pc)
+    nxt = xp[:, idx_next, :].reshape(bsz, n_tiles * _H, pc)
+
+    kernel = _make_packed_kernel(s_t, p, c)
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, s, pc), xp.dtype),
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, s_t, pc), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _H, pc), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _H, pc), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, pc), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_t, pc), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, prev, nxt, ab)
+
+    return _patch_edges_packed(y, xp, alpha, beta, logscale, p, c)
+
+
+def _patch_edges_packed(y, xp, alpha, beta, logscale, p, c):
+    """Recompute the first/last _PATCH unpacked outputs exactly with the
+    unfused composition (replicate edge padding), on tiny unpacked slices."""
+    bsz, s, pc = xp.shape
+    ctx = -(-(_PATCH + 24) // p)  # packed rows of context per edge
+    ctx = min(ctx, s)
+
+    left_x = unpack_time(xp[:, :ctx, :], p)          # [B, ctx*p, C]
+    right_x = unpack_time(xp[:, s - ctx :, :], p)
+    left_y = _reference_act(left_x, alpha, beta, logscale)[:, :_PATCH, :]
+    right_y = _reference_act(right_x, alpha, beta, logscale)[:, -_PATCH:, :]
+
+    rows = -(-_PATCH // p)  # packed rows touched by a patch
+    head = unpack_time(y[:, :rows, :], p)
+    head = jax.lax.dynamic_update_slice_in_dim(
+        head, left_y.astype(y.dtype), 0, axis=1)
+    y = jax.lax.dynamic_update_slice_in_dim(
+        y, pack_time(head, p), 0, axis=1)
+
+    tail = unpack_time(y[:, s - rows :, :], p)
+    tail = jax.lax.dynamic_update_slice_in_dim(
+        tail, right_y.astype(y.dtype), rows * p - _PATCH, axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(
+        y, pack_time(tail, p), s - rows, axis=1)
+
+
+def packed_act_reference(xp: jax.Array, alpha: jax.Array,
+                         beta: Optional[jax.Array], logscale: bool,
+                         p: int) -> jax.Array:
+    """Unfused XLA composition on the packed layout (unpack -> act -> pack);
+    ground truth for the kernel and the differentiable fallback."""
+    return pack_time(_reference_act(unpack_time(xp, p), alpha, beta, logscale), p)

@@ -77,6 +77,8 @@ class FlowHighSR:
         cond_drop_prob: float = 0.0,
         upsampling_method: str = "scipy",
         fused_vocoder: bool = False,
+        packed_vocoder: Optional[bool] = None,  # default: follows fused_vocoder
+        vocoder_conv_dtype=None,
         use_torchode: bool = False,
         ode_atol: float = 1e-5,
         ode_rtol: float = 1e-5,
@@ -93,8 +95,12 @@ class FlowHighSR:
         self.upsampling_method = upsampling_method
 
         self.net = VectorFieldNet(config.model)
+        if packed_vocoder is None:
+            packed_vocoder = fused_vocoder
         self.melvoco = MelVoco(config.mel, config.vocoder, vocoder_params,
-                               fused_act=fused_vocoder)
+                               fused_act=fused_vocoder, packed=packed_vocoder,
+                               conv_dtype=vocoder_conv_dtype,
+                               pallas_convs=packed_vocoder)
         self.params = params
 
     # -- setup -----------------------------------------------------------------

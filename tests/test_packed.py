@@ -1,0 +1,158 @@
+"""Packed (space-to-depth) vocoder ops vs the unpacked composition
+(interpret mode on CPU; the same kernels compile on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from flowhigh_tpu.models.bigvgan import conv1d
+from flowhigh_tpu.ops.packed import (pack_time, packed_act_reference,
+                                     packed_conv1d,
+                                     packed_snake_activation1d, unpack_time)
+
+
+def test_pack_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 24, 5)).astype(np.float32))
+    xp = pack_time(x, 4)
+    assert xp.shape == (2, 6, 20)
+    # phase-major: lane block m holds time phase m
+    np.testing.assert_array_equal(np.asarray(xp[0, 1, 5:10]),
+                                  np.asarray(x[0, 5, :]))
+    np.testing.assert_array_equal(np.asarray(unpack_time(xp, 4)),
+                                  np.asarray(x))
+
+
+@pytest.mark.parametrize("k,d,p,cin,cout", [
+    (3, 1, 8, 48, 48), (7, 3, 8, 48, 48), (11, 5, 8, 48, 48),
+    (11, 5, 4, 96, 96), (11, 3, 2, 192, 192), (7, 1, 8, 48, 1),
+    (4, 2, 3, 5, 7),
+])
+def test_packed_conv_matches(rng, k, d, p, cin, cout):
+    t = 24 * p
+    pad = (k * d - d) // 2
+    x = jnp.asarray(rng.standard_normal((2, t, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, cin, cout)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    ref = conv1d(x, w, b, padding=pad, dilation=d)
+    got = unpack_time(packed_conv1d(pack_time(x, p), w, b, pad=pad,
+                                    dilation=d, p=p), p)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("t,c,p", [
+    (480, 48, 8), (960, 96, 4), (512, 192, 2), (4096, 48, 8), (100 * 8, 48, 8),
+])
+def test_packed_act_matches(rng, t, c, p):
+    x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.3)
+    beta = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.3)
+    xp = pack_time(x, p)
+    ref = packed_act_reference(xp, alpha, beta, True, p)
+    got = packed_snake_activation1d(xp, alpha, beta, True, p, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_packed_act_edges_and_awkward_rows(rng):
+    # row count with no multiple-of-8 divisor -> pad path; edges patched exactly
+    x = jnp.asarray(rng.standard_normal((1, 8 * 13, 48)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(48).astype(np.float32) * 0.2)
+    beta = jnp.asarray(rng.standard_normal(48).astype(np.float32) * 0.2)
+    xp = pack_time(x, 8)
+    ref = np.asarray(packed_act_reference(xp, alpha, beta, True, 8))
+    got = np.asarray(packed_snake_activation1d(xp, alpha, beta, True, 8,
+                                               interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_packed_act_no_beta(rng):
+    x = jnp.asarray(rng.standard_normal((1, 512, 96)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(96).astype(np.float32) * 0.2)
+    xp = pack_time(x, 4)
+    ref = packed_act_reference(xp, alpha, None, False, 4)
+    got = packed_snake_activation1d(xp, alpha, None, False, 4, interpret=True)
+    # raw (non-logscale) alpha near zero makes 1/alpha large: the kernel's
+    # cos-form identity loses a few ulps to cancellation there
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_packed_bigvgan_matches_unpacked(rng):
+    """Full generator: packed MRF path == plain path on a small config."""
+    import jax
+    from flowhigh_tpu.config import VocoderConfig
+    from flowhigh_tpu.models.bigvgan import BigVGAN
+
+    cfg = VocoderConfig(
+        num_mels=8, upsample_initial_channel=64,
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        resblock_kernel_sizes=(3, 7), resblock_dilation_sizes=((1, 3), (1, 3)),
+    )
+    mel = jnp.asarray(rng.standard_normal((1, 40, 8)).astype(np.float32) * 0.3)
+    plain = BigVGAN(cfg)
+    params = plain.init(jax.random.PRNGKey(0), mel)
+    ref = plain.apply(params, mel)
+    got = BigVGAN(cfg, packed=True).apply(params, mel)
+    assert got.shape == ref.shape == (1, 40 * 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,d,p,c,res", [
+    (11, 5, 8, 48, False), (11, 5, 1, 96, True), (7, 3, 2, 192, False),
+    (3, 1, 4, 96, True), (11, 5, 2, 192, False),
+])
+def test_pallas_packed_conv_matches(rng, k, d, p, c, res):
+    from flowhigh_tpu.ops.packed import pallas_packed_conv1d
+
+    s = 48  # packed rows
+    pad = (k * d - d) // 2
+    xp = jnp.asarray(rng.standard_normal((2, s, p * c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    r = (jnp.asarray(rng.standard_normal((2, s, p * c)).astype(np.float32))
+         if res else None)
+    ref = packed_conv1d(xp, w, b, pad=pad, dilation=d, p=p)
+    if res:
+        ref = ref + r
+    got = pallas_packed_conv1d(xp, w, b, pad=pad, dilation=d, p=p, residual=r,
+                               dot_dtype=jnp.float32, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_packed_conv_awkward_rows(rng):
+    from flowhigh_tpu.ops.packed import pallas_packed_conv1d
+
+    xp = jnp.asarray(rng.standard_normal((1, 13, 384)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((7, 48, 48)).astype(np.float32) * 0.1)
+    ref = packed_conv1d(xp, w, None, pad=3, dilation=1, p=8)
+    got = pallas_packed_conv1d(xp, w, None, pad=3, dilation=1, p=8,
+                               dot_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_bigvgan_matches_unpacked(rng):
+    """Full generator with packed MRF + Pallas convs == plain path."""
+    import jax
+    from flowhigh_tpu.config import VocoderConfig
+    from flowhigh_tpu.models.bigvgan import BigVGAN
+
+    cfg = VocoderConfig(
+        num_mels=8, upsample_initial_channel=64,
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        resblock_kernel_sizes=(3, 7), resblock_dilation_sizes=((1, 3), (1, 3)),
+    )
+    mel = jnp.asarray(rng.standard_normal((1, 40, 8)).astype(np.float32) * 0.3)
+    plain = BigVGAN(cfg)
+    params = plain.init(jax.random.PRNGKey(0), mel)
+    ref = plain.apply(params, mel)
+    got = BigVGAN(cfg, packed=True, pallas_convs=True).apply(params, mel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
