@@ -165,20 +165,39 @@ def odeint_fixed(
     return y
 
 
+class AdaptiveStats(NamedTuple):
+    converged: jax.Array   # [B] bool — item reached t = 1 within max_steps
+    n_accepted: jax.Array  # [B] int32 — per-item accepted step count
+    n_loops: jax.Array     # [] int32 — solver iterations (NFE = 7 per loop)
+
+
 def odeint_adaptive(
     f: Callable[[jax.Array, jax.Array], jax.Array],
     y0: jax.Array,
     atol: float = 1e-5,
     rtol: float = 1e-5,
     max_steps: int = 256,
+    return_stats: bool = False,
 ) -> jax.Array:
-    """Adaptive Dormand-Prince RK45 over t in [0, 1] with a PI step
-    controller — the reference's optional torchode/Tsit5 path
-    (reference: cfm_superresolution.py:259-276, off by default). Runs as a
-    ``lax.while_loop`` with a static step bound so it stays one XLA program.
-    """
+    """Adaptive Dormand-Prince RK45 over t in [0, 1] with **per-sample** step
+    control — the reference's optional torchode path solves every batch item
+    independently (reference: cfm_superresolution.py:259-276), and so does
+    this: each item carries its own (t, h, error history), so an easy clip
+    finishing in 3 steps never couples to a stiff neighbor's step size.
+
+    ``f(t, y)`` receives ``t`` of shape ``[B]`` (one time per item). The
+    step controller is a true PI controller (accepted steps use
+    ``0.9 * err^(-0.7/5) * err_prev^(0.4/5)``, Soderlind's standard
+    coefficients for order 5; rejections fall back to I-control capped at 1).
+    Runs as a ``lax.while_loop`` with a static bound so it stays one XLA
+    program; items that hit ``max_steps`` before t=1 are reported via
+    ``AdaptiveStats.converged`` (``return_stats=True``) instead of being
+    silently returned."""
+    b = y0.shape[0]
+    bshape = (b,) + (1,) * (y0.ndim - 1)
+
     # Dormand-Prince 5(4) tableau
-    c = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+    c = [0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0]
     a = [
         [],
         [1 / 5],
@@ -188,45 +207,56 @@ def odeint_adaptive(
         [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
         [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
     ]
-    b5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
-    b4 = jnp.array([5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
-                    187 / 2100, 1 / 40])
+    b5 = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0]
+    b4 = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40]
+    reduce_axes = tuple(range(1, y0.ndim))
 
     def rk_step(t, y, h):
+        hb = h.reshape(bshape)
         ks = []
         for i in range(7):
             yi = y
             for j, aij in enumerate(a[i]):
-                yi = yi + h * aij * ks[j]
+                yi = yi + hb * aij * ks[j]
             ks.append(f(t + c[i] * h, yi))
         y5 = y
         y4 = y
         for i in range(7):
-            y5 = y5 + h * b5[i] * ks[i]
-            y4 = y4 + h * b4[i] * ks[i]
+            y5 = y5 + hb * b5[i] * ks[i]
+            y4 = y4 + hb * b4[i] * ks[i]
         return y5, y5 - y4
 
     def cond(state):
-        t, y, h, n = state
-        return (t < 1.0) & (n < max_steps)
+        t, y, h, err_prev, n, nacc = state
+        return jnp.any(t < 1.0) & (n < max_steps)
 
     def body(state):
-        t, y, h, n = state
-        h = jnp.minimum(h, 1.0 - t)
-        y5, err = rk_step(t, y, h)
+        t, y, h, err_prev, n, nacc = state
+        active = t < 1.0                                 # [B]
+        h_eff = jnp.where(active, jnp.minimum(h, 1.0 - t), 0.0)
+        y5, err = rk_step(t, y, h_eff)
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
-        err_norm = jnp.sqrt(jnp.mean(jnp.square(err / scale)))
-        accept = err_norm <= 1.0
-        # PI controller (order 5)
-        factor = jnp.clip(0.9 * (err_norm + 1e-10) ** (-1 / 5), 0.2, 5.0)
-        h_new = h * factor
-        t = jnp.where(accept, t + h, t)
-        y = jax.tree.map(lambda a_, b_: jnp.where(accept, b_, a_), y, y5)
-        return t, y, h_new, n + 1
+        err_norm = jnp.sqrt(jnp.mean(jnp.square(err / scale),
+                                     axis=reduce_axes))  # [B]
+        err_norm = jnp.maximum(err_norm, 1e-10)
+        accept = (err_norm <= 1.0) & active
+        factor_pi = 0.9 * err_norm ** (-0.7 / 5) * err_prev ** (0.4 / 5)
+        factor_i = jnp.minimum(0.9 * err_norm ** (-1 / 5), 1.0)
+        factor = jnp.clip(jnp.where(accept, factor_pi, factor_i), 0.2, 5.0)
+        t = jnp.where(accept, t + h_eff, t)
+        y = jnp.where(accept.reshape(bshape), y5, y)
+        h = jnp.where(active, h_eff * factor, h)
+        err_prev = jnp.where(accept, err_norm, err_prev)
+        nacc = nacc + accept.astype(jnp.int32)
+        return t, y, h, err_prev, n + 1, nacc
 
-    t0 = jnp.zeros(())
-    h0 = jnp.asarray(0.05)
-    _, y, _, _ = jax.lax.while_loop(cond, body, (t0, y0, h0, jnp.zeros((), jnp.int32)))
+    state0 = (jnp.zeros((b,)), y0, jnp.full((b,), 0.05),
+              jnp.ones((b,)), jnp.zeros((), jnp.int32),
+              jnp.zeros((b,), jnp.int32))
+    t, y, _, _, n, nacc = jax.lax.while_loop(cond, body, state0)
+    if return_stats:
+        return y, AdaptiveStats(converged=t >= 1.0, n_accepted=nacc, n_loops=n)
     return y
 
 

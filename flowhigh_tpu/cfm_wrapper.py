@@ -24,6 +24,18 @@ from .models.melvoco import encode as _encode
 from .sr import _is_probably_audio
 
 
+def _resample_to(wav: jax.Array, in_sr: int, out_sr: int) -> jax.Array:
+    """On-device polyphase resample [B, T] raw audio between integer rates
+    (reference: cfm_superresolution.py:317-323 uses torchaudio resample)."""
+    if in_sr == out_sr:
+        return wav
+    from math import gcd
+
+    from .dsp.resample import resample_poly
+    g = gcd(in_sr, out_sr)
+    return resample_poly(wav, out_sr // g, in_sr // g)
+
+
 class FLowHigh:
     """Reference-kwarg model container (reference: flow.py:55-75)."""
 
@@ -32,16 +44,45 @@ class FLowHigh:
         *,
         audio_enc_dec: Optional[MelVoco] = None,
         dim_in: Optional[int] = None,
+        dim_cond_emb: int = 0,
         dim: int = 1024,
         depth: int = 24,
         dim_head: int = 64,
         heads: int = 16,
         ff_mult: int = 4,
+        ff_dropout: float = 0.0,
+        time_hidden_dim: Optional[int] = None,
         conv_pos_embed_kernel_size: int = 31,
+        conv_pos_embed_groups: Optional[int] = None,
+        attn_dropout: float = 0.0,
+        attn_flash: bool = False,
         attn_qk_norm: bool = True,
+        use_gateloop_layers: bool = False,
         architecture: str = "transformer",
+        num_register_tokens: int = 0,
+        use_unet_skip_connection: bool = False,
+        skip_connect_scale: Optional[float] = None,
         params=None,
     ):
+        # full reference constructor surface (flow.py:55-75). Options the
+        # published configs never set and this build deliberately does not
+        # carry raise loudly instead of being silently dropped:
+        if dim_cond_emb != 0:
+            raise NotImplementedError(
+                "dim_cond_emb != 0 is accepted by the reference constructor "
+                "but never fed by any reference code path; unsupported here")
+        if ff_dropout != 0.0 or attn_dropout != 0.0:
+            raise NotImplementedError(
+                "dropout is 0 in every reference config; not implemented")
+        if time_hidden_dim is not None and time_hidden_dim != dim:
+            raise NotImplementedError(
+                "time_hidden_dim defaults to dim (flow.py:81-84); other "
+                "values are not supported")
+        if conv_pos_embed_groups is not None and conv_pos_embed_groups != dim:
+            raise NotImplementedError(
+                "conv_pos_embed_groups defaults to dim (depthwise); other "
+                "values are not supported")
+        del attn_flash  # attention dispatch is XLA's choice on TPU
         self.audio_enc_dec = audio_enc_dec
         self.config = ModelConfig(
             architecture=architecture,
@@ -50,6 +91,10 @@ class FLowHigh:
             ff_mult=ff_mult,
             conv_pos_embed_kernel_size=conv_pos_embed_kernel_size,
             attn_qk_norm=attn_qk_norm,
+            num_register_tokens=num_register_tokens,
+            use_unet_skip_connection=use_unet_skip_connection,
+            skip_connect_scale=skip_connect_scale,
+            use_gateloop_layers=use_gateloop_layers,
         )
         self.net = VectorFieldNet(self.config)
         self.params = params
@@ -137,7 +182,10 @@ class ConditionalFlowMatcherWrapper:
 
         if self.use_adaptive:
             from .cfm import odeint_adaptive
-            sampled = odeint_adaptive(ode_fn, y0, self.ode_atol, self.ode_rtol)
+            from .sr import _warn_if_unconverged
+            sampled, stats = odeint_adaptive(
+                ode_fn, y0, self.ode_atol, self.ode_rtol, return_stats=True)
+            _warn_if_unconverged(stats)
         else:
             sampled = odeint_fixed(ode_fn, y0, time_steps, self.ode_method)
         if mel_pp:
@@ -155,12 +203,22 @@ class ConditionalFlowMatcherWrapper:
         mask=None,
         cond_mask=None,
         input_sampling_rate=None,
+        cond_freq_masking: bool = False,
+        random_sr=None,
         weighted_loss: bool = False,
         cfm_method: Optional[str] = None,
         rng: Optional[jax.Array] = None,
     ):
-        """Training loss (reference: cfm_superresolution.py:287-527)."""
-        del mask, cond_mask, input_sampling_rate
+        """Training loss (reference: cfm_superresolution.py:287-527).
+
+        ``input_sampling_rate``: raw-audio inputs at a rate other than the
+        codec's are polyphase-resampled on device before encoding
+        (reference: :309-323 via torchaudio resample). ``random_sr`` is
+        accepted for signature parity and unused, exactly like the reference
+        (flow.py:191 receives it and never reads it). ``mask``/``cond_mask``
+        are self-attention / cond masks forwarded when shapes permit; the
+        segment crop builds its own validity mask (reference: :470-507)."""
+        del cond_mask, random_sr
         if cfm_method not in CFMConfig.CFM_METHODS:
             cfm_method = self.cfm_method
         if rng is None:
@@ -169,17 +227,25 @@ class ConditionalFlowMatcherWrapper:
         mel_cfg = self._mel_cfg()
         x1 = jnp.asarray(x1)
         cond = jnp.asarray(cond)
-        if _is_probably_audio(x1):
-            x1 = _encode(x1.reshape(x1.shape[0], -1), mel_cfg)
-        if _is_probably_audio(cond):
-            cond = _encode(cond.reshape(cond.shape[0], -1), mel_cfg)
+        if _is_probably_audio(x1) or _is_probably_audio(cond):
+            codec_sr = mel_cfg.sampling_rate
+            in_sr = int(input_sampling_rate or codec_sr)
+            if _is_probably_audio(x1):
+                x1 = _resample_to(x1.reshape(x1.shape[0], -1), in_sr, codec_sr)
+                x1 = _encode(x1, mel_cfg)
+            if _is_probably_audio(cond):
+                cond = _resample_to(cond.reshape(cond.shape[0], -1),
+                                    in_sr, codec_sr)
+                cond = _encode(cond, mel_cfg)
 
-        # pad to a common frame count (reference: :325-328)
+        # pad to a common frame count — the reference pads at the FRONT of
+        # the time axis (F.pad(..., (0, 0, max - T, 0)), reference: :325-328)
         t = max(x1.shape[1], cond.shape[1])
         if x1.shape[1] < t:
-            x1 = jnp.pad(x1, ((0, 0), (0, t - x1.shape[1]), (0, 0)))
+            x1 = jnp.pad(x1, ((0, 0), (t - x1.shape[1], 0), (0, 0)))
         if cond.shape[1] < t:
-            cond = jnp.pad(cond, ((0, 0), (0, t - cond.shape[1]), (0, 0)))
+            cond = jnp.pad(cond, ((0, 0), (t - cond.shape[1], 0), (0, 0)))
+        del mask  # full-length self-attn mask can't survive the segment crop
 
         if cond_lengths is None:
             mel_lengths = jnp.full((x1.shape[0],), t, jnp.int32)
@@ -191,7 +257,8 @@ class ConditionalFlowMatcherWrapper:
             self.flowhigh.net.apply, self.flowhigh.params, rng,
             x1, cond, mel_lengths,
             method=cfm_method, sigma=self.sigma, out_size=out_size,
-            cond_drop_prob=self.cond_drop_prob, weighted=weighted_loss)
+            cond_drop_prob=self.cond_drop_prob, weighted=weighted_loss,
+            cond_freq_masking=cond_freq_masking)
 
     __call__ = forward
 

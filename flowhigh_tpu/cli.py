@@ -73,7 +73,8 @@ def cmd_train(args) -> int:
 
     from .config import FlowHighConfig
     from .parallel import make_mesh
-    from .train import AudioDataset, SyntheticAudioDataset, Trainer, batch_iterator
+    from .train import (AudioDataset, SyntheticAudioDataset, Trainer,
+                        batch_iterator, random_split)
 
     cfg = (FlowHighConfig.from_reference_json(args.config)
            if args.config else FlowHighConfig())
@@ -87,17 +88,33 @@ def cmd_train(args) -> int:
         print("[train] data_path missing: using synthetic corpus")
         ds = SyntheticAudioDataset(cfg.data, n_items=256, seconds=3.0)
 
+    # train/valid split (reference: trainer.py:118-129, seed 53) unless a
+    # dedicated valid corpus is configured (valid_prepare analog)
+    if cfg.data.valid_path and Path(cfg.data.valid_path).exists():
+        train_ds = ds
+        valid_ds = AudioDataset(cfg.data.valid_path, cfg.data, mode="valid")
+    else:
+        train_ds, valid_ds = random_split(ds, cfg.train.valid_frac,
+                                          cfg.train.random_split_seed)
+        print(f"[train] {len(train_ds)} train / {len(valid_ds)} valid "
+              f"(random_split seed {cfg.train.random_split_seed})")
+
     mesh = make_mesh(n_model=args.tp) if args.tp > 1 else make_mesh()
     trainer = Trainer(cfg, mesh=mesh, cfm_method=cfg.cfm.cfm_method,
                       results_folder=args.save_dir or cfg.train.save_dir)
-    data = batch_iterator(ds, cfg.train.batch_size,
-                          pad_to=cfg.data.sampling_rate * 3)
+    pad_to = cfg.data.sampling_rate * 3
+    data = batch_iterator(train_ds, cfg.train.batch_size, pad_to=pad_to)
+    valid_iter = batch_iterator(valid_ds, min(cfg.train.batch_size,
+                                              max(1, len(valid_ds))),
+                                pad_to=pad_to, num_workers=1)
+    valid_batches = [next(valid_iter) for _ in range(2)]
     state = None
     if args.resume:
         params = trainer.load_params(args.resume)
         state = trainer.init_state(jax.random.PRNGKey(cfg.train.random_seed))
         state = state.replace(params=params)
-    trainer.fit(data, state=state)
+    trainer.fit(data, state=state, auto_resume=not args.resume,
+                valid_batches=valid_batches)
     return 0
 
 

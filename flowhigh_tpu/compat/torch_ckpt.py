@@ -77,6 +77,12 @@ def map_model_state_dict(sd: dict, model_cfg) -> dict:
     if any(k.startswith("module.") for k in keys):
         sd = {k.removeprefix("module."): v for k, v in sd.items()}
     prefix = "flowhigh." if any(k.startswith("flowhigh.") for k in sd) else ""
+    if any(".1.to_qkva" in k or "gate_loop" in k for k in sd):
+        raise NotImplementedError(
+            "checkpoint contains gateloop_transformer weights (layers.N.1.*); "
+            "this build's GateLoop is an independent jax implementation with "
+            "a different parameterization — no published FLowHigh checkpoint "
+            "uses gateloop layers, so there is no layout to match")
     s = _StateDict(sd, prefix)
 
     p: dict = {
@@ -95,8 +101,15 @@ def map_model_state_dict(sd: dict, model_cfg) -> dict:
 
     if model_cfg.architecture == "transformer":
         tr: dict = {}
+        if getattr(model_cfg, "num_register_tokens", 0) > 0:
+            tr["register_tokens"] = s.raw("transformer.register_tokens")
         for i in range(model_cfg.depth):
             L = f"transformer.layers.{i}."
+            if s.has(L + "0.weight"):  # u-net skip combiner (transformer.py:150)
+                tr[f"layers_{i}_skip_combiner"] = {
+                    "kernel": _linear(sd[prefix + L + "0.weight"]),
+                    "bias": s.raw(L + "0.bias"),
+                }
             tr[f"layers_{i}_attn_norm"] = {
                 "to_gamma": {"kernel": _linear(sd[prefix + L + "2.to_gamma.weight"]),
                              "bias": s.raw(L + "2.to_gamma.bias")},
@@ -229,8 +242,19 @@ def params_to_torch_state(params: dict, model_cfg) -> dict:
     }
     if model_cfg.architecture == "transformer":
         tr = p["transformer"]
+        if any("gateloop" in k for k in tr):
+            raise NotImplementedError(
+                "jax GateLoop layers have no torch-reference layout to export "
+                "to (the reference's gateloop weights live in the external "
+                "gateloop_transformer package); save via orbax instead")
+        if "register_tokens" in tr:
+            sd["flowhigh.transformer.register_tokens"] = n(tr["register_tokens"])
         for i in range(model_cfg.depth):
             L = f"flowhigh.transformer.layers.{i}."
+            if f"layers_{i}_skip_combiner" in tr:
+                sk = tr[f"layers_{i}_skip_combiner"]
+                sd[L + "0.weight"] = n(sk["kernel"]).T
+                sd[L + "0.bias"] = n(sk["bias"])
             an, at, fn_, ff = (tr[f"layers_{i}_attn_norm"], tr[f"layers_{i}_attn"],
                                tr[f"layers_{i}_ff_norm"], tr[f"layers_{i}_ff"])
             sd[L + "2.to_gamma.weight"] = n(an["to_gamma"]["kernel"]).T
@@ -252,6 +276,116 @@ def params_to_torch_state(params: dict, model_cfg) -> dict:
             sd[L + "5.3.bias"] = n(ff["proj_out"]["bias"])
         sd["flowhigh.transformer.final_norm.gamma"] = n(tr["final_norm"]["gamma"])
     return sd
+
+
+def reference_param_order(model_cfg) -> list:
+    """Vector-field parameter names in the reference's ``named_parameters()``
+    registration order (reference: src/flowhigh/models/flow.py:92-142 for the
+    top level, transformer.py:131-161 per layer, attend.py:157-171 for the
+    q/k-norm-before-qkv ordering inside Attention). This is the positional
+    indexing a torch ``Adam(flowhigh.parameters())`` uses for its state dict.
+    torch yields a module's DIRECT parameters before its submodules', so
+    ``null_cond`` (the net's only direct Parameter, flow.py:100) comes
+    first."""
+    order = [
+        "null_cond",
+        "sinu_pos_emb.0.weights", "sinu_pos_emb.1.weight", "sinu_pos_emb.1.bias",
+        "to_embed.weight", "to_embed.bias",
+        "conv_embed.dw_conv1d.0.weight", "conv_embed.dw_conv1d.0.bias",
+    ]
+    if model_cfg.architecture == "transformer":
+        if getattr(model_cfg, "num_register_tokens", 0) > 0:
+            # direct Parameter of Transformer: yielded before its layers
+            order += ["transformer.register_tokens"]
+        for i in range(model_cfg.depth):
+            L = f"transformer.layers.{i}."
+            if (getattr(model_cfg, "use_unet_skip_connection", False)
+                    and (i + 1) > model_cfg.depth // 2):
+                order += [L + "0.weight", L + "0.bias"]
+            order += [L + "2.to_gamma.weight", L + "2.to_gamma.bias",
+                      L + "2.to_beta.weight", L + "2.to_beta.bias"]
+            if model_cfg.attn_qk_norm:
+                order += [L + "3.q_norm.gamma", L + "3.k_norm.gamma"]
+            order += [L + "3.to_qkv.weight", L + "3.to_out.weight",
+                      L + "4.to_gamma.weight", L + "4.to_gamma.bias",
+                      L + "4.to_beta.weight", L + "4.to_beta.bias",
+                      L + "5.0.weight", L + "5.0.bias",
+                      L + "5.3.weight", L + "5.3.bias"]
+        order += ["transformer.final_norm.gamma"]
+    order += ["to_pred.weight"]
+    return order
+
+
+def _find_adam_state(opt_state):
+    """Locate the ScaleByAdamState (fields mu/nu/count) anywhere inside an
+    optax state tree (handles chain / MultiSteps wrapping)."""
+    if hasattr(opt_state, "mu") and hasattr(opt_state, "nu"):
+        return opt_state
+    if hasattr(opt_state, "inner_opt_state"):  # optax.MultiSteps
+        return _find_adam_state(opt_state.inner_opt_state)
+    if isinstance(opt_state, (tuple, list)):
+        for item in opt_state:
+            found = _find_adam_state(item)
+            if found is not None:
+                return found
+    return None
+
+
+def optim_state_to_torch(params, opt_state, model_cfg, train_cfg, step: int) -> dict:
+    """optax Adam state -> the torch ``optimizer.state_dict()`` layout the
+    reference checkpoints carry (reference: trainer.py:209-215 saves
+    ``self.optim.state_dict()``; optimizer built at trainer.py:107 over
+    ``cfm_wrapper.parameters()`` with wd=0 -> plain Adam, one param group).
+
+    Indices follow ``reference_param_order`` (the vector-field net's
+    parameters only — the frozen vocoder never accumulates Adam state, so the
+    exported package loads into ``Adam(flowhigh_net.parameters())``).
+    ``null_cond`` has ``requires_grad=False`` (flow.py:100): it stays in the
+    param group but gets no state entry, exactly as torch leaves it."""
+    import torch
+
+    adam = _find_adam_state(opt_state)
+    order = reference_param_order(model_cfg)
+    groups = [{
+        "lr": float(train_cfg.lr),
+        "betas": (float(train_cfg.adam_b1), float(train_cfg.adam_b2)),
+        "eps": float(train_cfg.adam_eps),
+        "weight_decay": float(train_cfg.weight_decay),
+        "amsgrad": False, "maximize": False, "foreach": None,
+        "capturable": False, "differentiable": False, "fused": None,
+        "params": list(range(len(order))),
+    }]
+    if adam is None:
+        return {"state": {}, "param_groups": groups}
+
+    mu_t = params_to_torch_state(adam.mu, model_cfg)
+    nu_t = params_to_torch_state(adam.nu, model_cfg)
+    state = {}
+    for idx, name in enumerate(order):
+        if name == "null_cond":
+            continue  # frozen: torch Adam never creates state for it
+        key = "flowhigh." + name
+        state[idx] = {
+            "step": torch.tensor(float(step)),
+            "exp_avg": torch.from_numpy(np.array(mu_t[key])),
+            "exp_avg_sq": torch.from_numpy(np.array(nu_t[key])),
+        }
+    return {"state": state, "param_groups": groups}
+
+
+def scheduler_state_to_torch(train_cfg, step: int, last_lr: float) -> dict:
+    """CosineAnnealingLR state dict (reference: trainer.py:139 builds
+    ``CosineAnnealingLR(optim, T_max=num_train_steps)``; saved at :209-215)."""
+    return {
+        "T_max": int(train_cfg.num_train_steps),
+        "eta_min": 0,
+        "base_lrs": [float(train_cfg.lr)],
+        "last_epoch": int(step),
+        "verbose": False,
+        "_step_count": int(step) + 1,
+        "_get_lr_called_within_step": False,
+        "_last_lr": [float(last_lr)],
+    }
 
 
 # --- top-level loader ----------------------------------------------------------

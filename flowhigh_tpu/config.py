@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from pathlib import Path
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,6 +81,12 @@ class ModelConfig:
     attn_qk_norm: bool = True
     attn_qk_norm_scale: float = 10.0
     rope_theta: float = 50000.0
+    # optional reference transformer features (transformer.py:119-154);
+    # off by default and unused by the published checkpoints
+    num_register_tokens: int = 0
+    use_unet_skip_connection: bool = False
+    skip_connect_scale: Optional[float] = None  # default 2**-0.5 when used
+    use_gateloop_layers: bool = False
     convnext_layers: int = 8
     convnext_mult: int = 3
     compute_dtype: str = "float32"  # bfloat16 for the TPU fast path
@@ -133,6 +139,8 @@ class TrainConfig:
     adam_b2: float = 0.99
     adam_eps: float = 1e-8
     log_every: int = 10
+    save_results_every: int = 100  # validation cadence (trainer.py:84,322)
+    valid_frac: float = 0.05       # random_split fraction (trainer.py:82,122)
     save_model_every: int = 100000
     save_dir: str = "./results"
     weighted_loss: bool = False

@@ -21,17 +21,35 @@ from scipy.signal import firwin
 
 
 @functools.lru_cache(maxsize=64)
-def _design(up: int, down: int) -> tuple[np.ndarray, int, int]:
-    """Kaiser-windowed sinc FIR + alignment offsets (scipy resample_poly parity).
+def _design(up: int, down: int, design: str = "scipy") -> tuple[np.ndarray, int, int]:
+    """Windowed-sinc FIR + alignment offsets.
+
+    ``design='scipy'``: Kaiser beta=5.0, 10*max_rate half-length — exact
+    ``scipy.signal.resample_poly`` parity (the reference's default
+    upsampler, flowhighsr.py:68). ``design='soxr_hq'``: the reference's
+    ``upsampling_method='librosa'`` path calls librosa.resample with
+    res_type soxr_hq (train/data.py:77-78) — soxr itself is a C library
+    with no public tap values, so bit-parity is not reproducible; this mode
+    matches its *specs* instead (HQ preset: ~120 dB stopband rejection,
+    passband to ~0.92 Nyquist) via a long Kaiser design
+    (beta = 0.1102*(A-8.7), A = 120 dB).
 
     Returns (padded filter h, n_pre_remove, half_len) where ``h`` already
-    includes scipy's pre-padding so output sample k of the decimated full
+    includes the pre-padding so output sample k of the decimated full
     convolution at index ``k + n_pre_remove`` aligns with scipy's output.
     """
     max_rate = max(up, down)
-    f_c = 1.0 / max_rate
-    half_len = 10 * max_rate
-    h = firwin(2 * half_len + 1, f_c, window=("kaiser", 5.0)).astype(np.float64)
+    if design == "scipy":
+        f_c = 1.0 / max_rate
+        half_len = 10 * max_rate
+        beta = 5.0
+    elif design == "soxr_hq":
+        f_c = 0.96 / max_rate       # transition band [0.92, 1.0] * Nyquist
+        half_len = 32 * max_rate    # long enough for ~120 dB at that width
+        beta = 0.1102 * (120.0 - 8.7)
+    else:
+        raise ValueError(f"unknown FIR design {design!r}")
+    h = firwin(2 * half_len + 1, f_c, window=("kaiser", beta)).astype(np.float64)
     h *= up
     n_pre_pad = down - half_len % down
     h = np.concatenate([np.zeros(n_pre_pad), h])
@@ -46,7 +64,8 @@ def output_length(n: int, up: int, down: int) -> int:
 
 
 @functools.lru_cache(maxsize=64)
-def _polyphase_bank(up: int, down: int) -> tuple[np.ndarray, int, int]:
+def _polyphase_bank(up: int, down: int,
+                    design: str = "scipy") -> tuple[np.ndarray, int, int]:
     """Polyphase filter bank W[phase, taps] such that the upfirdn output
     y[c + m*up] = sum_k W[c, k] * x[s0 + m*down + k] (cross-correlation).
 
@@ -57,7 +76,7 @@ def _polyphase_bank(up: int, down: int) -> tuple[np.ndarray, int, int]:
     compiles to a plain strided conv with ``up`` output channels (the
     lhs_dilation form pathologically slows the TPU conv compiler).
     """
-    h, pre, _ = _design(up, down)
+    h, pre, _ = _design(up, down, design)
     lh = len(h)
     # choose s0 so that k >= 0 covers every tap for every phase
     s0 = min(((c + pre) * down - (lh - 1)) // up for c in range(up))
@@ -71,15 +90,17 @@ def _polyphase_bank(up: int, down: int) -> tuple[np.ndarray, int, int]:
     return w, s0, k_max + 1
 
 
-def resample_poly(x: jax.Array, up: int, down: int) -> jax.Array:
-    """[..., T] -> [..., ceil(T*up/down)]; numerically matches scipy (f32)."""
+def resample_poly(x: jax.Array, up: int, down: int,
+                  design: str = "scipy") -> jax.Array:
+    """[..., T] -> [..., ceil(T*up/down)]; numerically matches scipy (f32).
+    ``design='soxr_hq'`` swaps in the librosa/soxr-grade FIR (see _design)."""
     g = math.gcd(up, down)
     up, down = up // g, down // g
     if up == down == 1:
         return x
     n_in = x.shape[-1]
     n_out = output_length(n_in, up, down)
-    w, s0, kw = _polyphase_bank(up, down)
+    w, s0, kw = _polyphase_bank(up, down, design)
 
     m_out = -(-n_out // up)  # per-phase output count
     # x[j] needed for j in [s0, s0 + (m_out-1)*down + kw)
@@ -108,7 +129,8 @@ def lax_slice_start(x: jax.Array, start: int) -> jax.Array:
     return x[..., start:] if start > 0 else x
 
 
-def upsample_to_48k(x: jax.Array, sr: int, target_sr: int = 48000) -> jax.Array:
+def upsample_to_48k(x: jax.Array, sr: int, target_sr: int = 48000,
+                    design: str = "scipy") -> jax.Array:
     """Host-DSP step of generate() as an on-device op
     (reference: src/flowhigh/flowhighsr.py:66-69)."""
-    return resample_poly(x, target_sr, sr)
+    return resample_poly(x, target_sr, sr, design)

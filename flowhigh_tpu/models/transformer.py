@@ -6,7 +6,9 @@ TPU-native re-design of the reference backbone
 - One fused QKV projection per layer feeding an einsum attention that XLA
   lowers onto the MXU (seq lengths here are a few hundred to a few thousand
   mel frames; a 2-layer/1024-dim model is firmly in the "let XLA fuse it"
-  regime — a Pallas flash kernel is wired in behind a flag for long-form).
+  regime). Long-form audio goes through StreamingSR's chunked overlap-add
+  path rather than a flash kernel — chunking bounds the quadratic term at
+  the source and reuses the same compiled program per chunk size.
 - All norms/softmax in f32; matmuls in the configured compute dtype (bf16 on
   TPU); RoPE applied in f32 exactly like the reference's autocast-off blocks
   (reference: src/flowhigh/models/pos_emb.py:58-60).
@@ -39,11 +41,15 @@ def gelu_exact(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
-def rotary_freqs(seq_len: int, dim_head: int, theta: float = 50000.0) -> jax.Array:
+def rotary_freqs(seq_len: int, dim_head: int, theta: float = 50000.0,
+                 positions: Optional[np.ndarray] = None) -> jax.Array:
     """[seq, dim_head] rotary angle table, duplicated halves
-    (reference: src/flowhigh/models/pos_emb.py:29-52)."""
+    (reference: src/flowhigh/models/pos_emb.py:29-52). ``positions`` overrides
+    the default arange — used for register tokens, which sit at position
+    -10000 (reference: transformer.py:192-196)."""
     inv_freq = 1.0 / (theta ** (np.arange(0, dim_head, 2, dtype=np.float64) / dim_head))
-    t = np.arange(seq_len, dtype=np.float64)
+    t = (np.asarray(positions, dtype=np.float64) if positions is not None
+         else np.arange(seq_len, dtype=np.float64))
     freqs = np.einsum("i,j->ij", t, inv_freq)
     freqs = np.concatenate([freqs, freqs], axis=-1)
     return jnp.asarray(freqs, dtype=jnp.float32)
@@ -161,9 +167,46 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim, name="proj_out", dtype=self.dtype)(x_)
 
 
+class GateLoop(nn.Module):
+    """Simple GateLoop layer via ``jax.lax.associative_scan``.
+
+    The reference's optional gateloop layers (transformer.py:119,152-153)
+    come from the external ``gateloop_transformer`` package — which itself
+    exposes a ``use_jax_associative_scan`` flag; here the jax path is the
+    native one. Implements the simplified data-controlled linear recurrence
+    of the GateLoop paper (arXiv:2311.01927, the SimpleGateLoopLayer
+    variant): per-channel state ``s_t = a_t * s_{t-1} + k_t * v_t`` with
+    sigmoid-gated transition ``a_t`` and output ``y_t = q_t * s_t``, followed
+    by post-LN (the reference passes ``post_ln=True``). Residual is added by
+    the caller, matching ``x = gateloop(x) + x`` (transformer.py:221-222)."""
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = RMSNorm(self.dim, name="norm")(x)
+        qkva = nn.Dense(self.dim * 4, use_bias=False, name="to_qkva",
+                        dtype=self.dtype)(h)
+        q, k, v, a = jnp.split(qkva.astype(jnp.float32), 4, axis=-1)
+        a = jax.nn.sigmoid(a)
+
+        def combine(left, right):
+            a1, b1 = left
+            a2, b2 = right
+            return a1 * a2, b1 * a2 + b2
+
+        _, s = jax.lax.associative_scan(combine, (a, k * v), axis=1)
+        y = nn.LayerNorm(name="post_ln")(q * s)
+        return y.astype(x.dtype)
+
+
 class Transformer(nn.Module):
     """Pre-norm transformer with adaptive RMSNorm time conditioning
-    (reference: transformer.py:108-234)."""
+    (reference: transformer.py:108-234), including the optional reference
+    features: register tokens packed to the left at rotary position -10000
+    (:135-139,177-198), U-Net skip connections with a learned combiner on the
+    second-half layers scaled by 2^-0.5 (:146-154,213-217), and GateLoop
+    layers (:152,221-222)."""
     dim: int
     depth: int
     heads: int = 16
@@ -173,15 +216,54 @@ class Transformer(nn.Module):
     qk_norm_scale: float = 10.0
     rope_theta: float = 50000.0
     cond_dim: Optional[int] = None
+    num_register_tokens: int = 0
+    use_unet_skip_connection: bool = False
+    skip_connect_scale: Optional[float] = None
+    use_gateloop_layers: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, time_emb, mask: Optional[jax.Array] = None):
-        n = x.shape[1]
-        rotary = rotary_freqs(n, self.dim_head, self.rope_theta)
+        if self.use_unet_skip_connection:
+            assert self.depth % 2 == 0, (
+                "u-net skip connections need an even depth "
+                "(reference: transformer.py:130)")
+        b, n = x.shape[0], x.shape[1]
+        r = self.num_register_tokens
         cond_dim = self.cond_dim or self.dim
 
+        if r > 0:
+            reg = self.param("register_tokens",
+                             nn.initializers.normal(stddev=1.0), (r, self.dim))
+            x = jnp.concatenate(
+                [jnp.broadcast_to(reg, (b, r, self.dim)).astype(x.dtype), x],
+                axis=1)
+            if mask is not None:
+                mask = jnp.pad(mask, ((0, 0), (r, 0)), constant_values=True)
+            positions = np.concatenate(
+                [np.full((r,), -10000.0), np.arange(n, dtype=np.float64)])
+            rotary = rotary_freqs(n + r, self.dim_head, self.rope_theta,
+                                  positions=positions)
+        else:
+            rotary = rotary_freqs(n, self.dim_head, self.rope_theta)
+
+        skip_scale = (self.skip_connect_scale if self.skip_connect_scale
+                      is not None else 2.0 ** -0.5)
+        skips = []
         for i in range(self.depth):
+            has_skip = self.use_unet_skip_connection and (i + 1) > self.depth // 2
+            if self.use_unet_skip_connection and not has_skip:
+                skips.append(x)
+            elif has_skip:
+                skip = skips.pop() * skip_scale
+                x = nn.Dense(self.dim, name=f"layers_{i}_skip_combiner",
+                             dtype=self.dtype)(
+                    jnp.concatenate([x, skip], axis=-1))
+
+            if self.use_gateloop_layers:
+                x = GateLoop(self.dim, dtype=self.dtype,
+                             name=f"layers_{i}_gateloop")(x) + x
+
             attn_in = AdaptiveRMSNorm(self.dim, cond_dim, name=f"layers_{i}_attn_norm")(
                 x, cond=time_emb)
             x = Attention(
@@ -193,6 +275,8 @@ class Transformer(nn.Module):
             x = FeedForward(self.dim, self.ff_mult, dtype=self.dtype,
                             name=f"layers_{i}_ff")(ff_in) + x
 
+        if r > 0:
+            x = x[:, r:]
         return RMSNorm(self.dim, name="final_norm")(x)
 
 

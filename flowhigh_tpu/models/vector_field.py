@@ -71,8 +71,12 @@ class VectorFieldNet(nn.Module):
                 dim=cfg.dim, depth=cfg.depth, heads=cfg.heads,
                 dim_head=cfg.dim_head, ff_mult=cfg.ff_mult,
                 qk_norm=cfg.attn_qk_norm, qk_norm_scale=cfg.attn_qk_norm_scale,
-                rope_theta=cfg.rope_theta, cond_dim=cfg.dim, dtype=dtype,
-                name="transformer",
+                rope_theta=cfg.rope_theta, cond_dim=cfg.dim,
+                num_register_tokens=cfg.num_register_tokens,
+                use_unet_skip_connection=cfg.use_unet_skip_connection,
+                skip_connect_scale=cfg.skip_connect_scale,
+                use_gateloop_layers=cfg.use_gateloop_layers,
+                dtype=dtype, name="transformer",
             )(h, time_emb=t_emb, mask=mask)
         elif cfg.architecture == "convnext":
             h = ConvNeXtBackbone(

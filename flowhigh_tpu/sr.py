@@ -36,6 +36,22 @@ from .postprocessing import post_process
 BUCKET_SAMPLES = 48000  # 1 s @ 48 kHz — compile-cache granularity
 
 
+def _warn_if_unconverged(stats) -> None:
+    """Surface adaptive-solver non-convergence (items that hit max_steps
+    before t=1) instead of silently returning the last accepted state."""
+    if stats is None:
+        return
+    conv = np.asarray(stats.converged)
+    if not conv.all():
+        import warnings
+        bad = np.where(~conv)[0].tolist()
+        warnings.warn(
+            f"adaptive ODE solver hit max_steps before reaching t=1 for "
+            f"batch item(s) {bad}; returning the last accepted state. "
+            f"Loosen atol/rtol or raise max_steps.", RuntimeWarning,
+            stacklevel=3)
+
+
 def _fast_init(init_fn, rng: jax.Array):
     """Shape-only init: eval_shape the flax init (no forward compile), fill
     kernels with fan-in-scaled normals (lecun-like, so deep conv stacks keep
@@ -92,6 +108,12 @@ class FlowHighSR:
         self.ode_atol = ode_atol
         self.ode_rtol = ode_rtol
         self.cond_drop_prob = cond_drop_prob
+        if upsampling_method not in ("scipy", "librosa"):
+            # the reference silently hits UnboundLocalError here
+            # (flowhighsr.py:66-84); fail with a real error instead
+            raise ValueError(
+                f"upsampling_method must be 'scipy' or 'librosa', "
+                f"got {upsampling_method!r}")
         self.upsampling_method = upsampling_method
 
         self.net = VectorFieldNet(config.model)
@@ -148,16 +170,18 @@ class FlowHighSR:
                 cond_scale=cond_scale, mask=mask)
 
         y0 = sample_prior(rng, cfm_method, cond_mel, std_1, std_2, cutoff)
+        stats = None
         if ode_method == "adaptive":
-            sampled = odeint_adaptive(ode_fn, y0, self.ode_atol, self.ode_rtol)
+            sampled, stats = odeint_adaptive(
+                ode_fn, y0, self.ode_atol, self.ode_rtol, return_stats=True)
         else:
             sampled = odeint_fixed(ode_fn, y0, time_steps, ode_method)
 
         if mel_pp:
             sampled = mel_replace(sampled, cond_mel, cutoff)
         if not decode_to_audio:
-            return sampled
-        return self.melvoco.vocoder.apply(vocoder_params, sampled)
+            return sampled, stats
+        return self.melvoco.vocoder.apply(vocoder_params, sampled), stats
 
     def sample(
         self,
@@ -188,10 +212,12 @@ class FlowHighSR:
         if _is_probably_audio(cond):
             cond = mel_encode(cond.reshape(cond.shape[0], -1), self.config.mel)
 
-        return self._sample_jit(
+        out, stats = self._sample_jit(
             self.params, self.melvoco.vocoder_params, cond, rng, mask,
             time_steps, cfm_method, self.ode_method, float(cond_scale),
             float(std_1), float(std_2), bool(mel_pp), bool(decode_to_audio))
+        _warn_if_unconverged(stats)
+        return out
 
     @functools.partial(jax.jit, static_argnames=(
         "self", "in_sr", "target_sr", "time_steps", "cfm_method", "ode_method",
@@ -207,7 +233,8 @@ class FlowHighSR:
         batched serving shares the same compiled program per (length, rate).
         """
         hop = self.config.mel.hop_length
-        cond = resample_poly(audio, target_sr, in_sr)      # [B, T48_pad]
+        design = "soxr_hq" if self.upsampling_method == "librosa" else "scipy"
+        cond = resample_poly(audio, target_sr, in_sr, design)  # [B, T48_pad]
         # exact floor(n * up / down) without int32 overflow (n * 48000 would)
         g = math.gcd(target_sr, in_sr)
         up, down = target_sr // g, in_sr // g
@@ -234,8 +261,10 @@ class FlowHighSR:
                 cond_scale=1.0, mask=frame_mask)
 
         y0 = sample_prior(rng, cfm_method, cond_mel, std_1, std_2, cutoff)
+        stats = None
         if ode_method == "adaptive":
-            sampled = odeint_adaptive(ode_fn, y0, self.ode_atol, self.ode_rtol)
+            sampled, stats = odeint_adaptive(
+                ode_fn, y0, self.ode_atol, self.ode_rtol, return_stats=True)
         else:
             sampled = odeint_fixed(ode_fn, y0, time_steps, ode_method)
         hr = self.melvoco.vocoder.apply(vocoder_params, sampled)  # [1, F*hop]
@@ -246,7 +275,7 @@ class FlowHighSR:
                        hr[..., :t_out], 0.0)
         src = cond[..., :t_out]
         out = post_process(hr, src, t_out)
-        return out, n_valid48
+        return out, n_valid48, stats
 
     def generate(
         self,
@@ -275,11 +304,12 @@ class FlowHighSR:
         if self.cfm_method == "independent_cfm_adaptive":
             std_2 = 1.0  # (reference: flowhighsr.py:92)
 
-        out, n48 = self._generate_jit(
+        out, n48, stats = self._generate_jit(
             self.params, self.melvoco.vocoder_params,
             jnp.asarray(padded)[None, :], jnp.asarray(n), jax.random.PRNGKey(seed),
             int(sr), int(target_sampling_rate), int(timestep),
             self.cfm_method, self.ode_method, float(std_1), float(std_2))
+        _warn_if_unconverged(stats)
         n48 = int(n48[0])
         return np.asarray(out)[:, :n48]
 
@@ -324,11 +354,12 @@ class FlowHighSR:
                 a = prepped[i]
                 batch[row, : len(a)] = a
                 lens[row] = len(a)
-            out, n48 = self._generate_jit(
+            out, n48, stats = self._generate_jit(
                 self.params, self.melvoco.vocoder_params,
                 jnp.asarray(batch), jnp.asarray(lens), jax.random.PRNGKey(seed),
                 rate, int(target_sampling_rate), int(timestep),
                 self.cfm_method, self.ode_method, float(std_1), float(std_2))
+            _warn_if_unconverged(stats)
             out = np.asarray(out)
             n48 = np.asarray(n48)
             for row, i in enumerate(idxs):

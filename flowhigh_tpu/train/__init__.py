@@ -1,12 +1,12 @@
 from .optimizer import make_optimizer, lr_schedule
 from .data import (AudioDataset, SyntheticAudioDataset, VocoderSegmentDataset,
-                   batch_iterator, scan_checkpoints)
+                   batch_iterator, random_split, scan_checkpoints, Subset)
 from .trainer import Trainer, TrainState
 
 __all__ = [
     "make_optimizer", "lr_schedule",
     "AudioDataset", "SyntheticAudioDataset", "VocoderSegmentDataset",
-    "batch_iterator", "scan_checkpoints",
+    "batch_iterator", "random_split", "scan_checkpoints", "Subset",
     "Trainer", "TrainState",
 ]
 

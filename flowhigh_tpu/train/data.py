@@ -180,6 +180,31 @@ def batch_iterator(
         stop.set()
 
 
+class Subset:
+    """Index-remapped view of a dataset (torch.utils.data.Subset analog)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx: int):
+        return self.dataset[self.indices[idx]]
+
+
+def random_split(dataset, valid_frac: float, seed: int = 53):
+    """Seeded train/valid split (reference: trainer.py:118-129 —
+    ``random_split(ds, [train, valid], generator=manual_seed(53))``).
+    Returns (train_subset, valid_subset); deterministic for a given seed."""
+    n = len(dataset)
+    train_size = int((1 - valid_frac) * n)
+    perm = np.random.default_rng(seed).permutation(n)
+    return (Subset(dataset, perm[:train_size]),
+            Subset(dataset, perm[train_size:]))
+
+
 class VocoderSegmentDataset:
     """Random fixed-length 48 kHz segments for vocoder GAN training
     (reference: src/flowhigh/models/bigvgan/meldataset.py:99-202 — the mel

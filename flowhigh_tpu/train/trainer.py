@@ -177,24 +177,30 @@ class Trainer:
         log_fn=print,
         auto_resume: bool = False,
         tensorboard: bool = False,
+        valid_batches=None,
+        eval_every: Optional[int] = None,
     ) -> TrainState:
         """``auto_resume``: restart from the newest checkpoint in the results
         folder if one exists — preemption-safe training (the reference's
-        recovery is a manual path argument, trainer.py:342-351)."""
+        recovery is a manual path argument, trainer.py:342-351).
+
+        ``valid_batches``: list of held-out batches (or a callable returning
+        one) evaluated every ``eval_every`` steps — the reference's
+        ``save_results_every`` validation cadence with the hook the reference
+        left stubbed (trainer.py:322-331) actually implemented."""
         cfg = self.config.train
         num_steps = num_steps or cfg.num_train_steps
         log_every = log_every or cfg.log_every
         save_every = save_every or cfg.save_model_every
+        eval_every = eval_every or cfg.save_results_every
         if state is None:
             state = self.init_state(jax.random.PRNGKey(cfg.random_seed))
             if auto_resume:
                 ckpt = self.latest_checkpoint()
                 if ckpt is not None:
-                    step = int(ckpt.name.split("_")[-1])
-                    log_fn(f"[train] auto-resuming from {ckpt} (step {step})")
-                    state = state.replace(
-                        params=self.load_params(ckpt),
-                        step=jnp.asarray(step, jnp.int32))
+                    log_fn(f"[train] auto-resuming from {ckpt}")
+                    state = self.restore_state(ckpt, state)
+                    log_fn(f"[train] restored full state at step {int(state.step)}")
 
         tb_writer = None
         if tensorboard:
@@ -227,6 +233,19 @@ class Trainer:
                         # reference scalar names (trainer.py:305-308)
                         tf.summary.scalar("training/cfm_loss", loss, step=i + 1)
                         tf.summary.scalar("training/lr", lr, step=i + 1)
+            if (valid_batches is not None and eval_every
+                    and (i + 1) % eval_every == 0):
+                batches = valid_batches() if callable(valid_batches) else valid_batches
+                vm = self.evaluate(state, batches)
+                line = {"step": i + 1, "valid_loss": vm["valid_loss"]}
+                log_fn(f"[valid] {line}")
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(line) + "\n")
+                if tb_writer is not None:
+                    import tensorflow as tf
+                    with tb_writer.as_default():
+                        tf.summary.scalar("validation/cfm_loss",
+                                          vm["valid_loss"], step=i + 1)
             if save_every and (i + 1) % save_every == 0:
                 self.save(state)
         return state
@@ -244,18 +263,55 @@ class Trainer:
         path = (folder / f"orbax_{step}").absolute()
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, jax.device_get(
-                {"params": state.params, "step": step}))
+                {"params": state.params, "opt_state": state.opt_state,
+                 "rng": state.rng, "step": step}))
 
         self.export_torch(state, folder / f"FLowHigh.{step}.pt")
 
+    def restore_state(self, path, template: TrainState) -> TrainState:
+        """Restore the FULL training state (params + optimizer moments + rng
+        + step) from an orbax checkpoint dir, so a preempted run resumes
+        bit-identically. ``template`` (a freshly initialized state) supplies
+        the pytree structure orbax needs to rebuild optax namedtuples.
+        Falls back to params-only for round-1-era checkpoints."""
+        import orbax.checkpoint as ocp
+        path = Path(path)
+        tpl = jax.device_get({"params": template.params,
+                              "opt_state": template.opt_state,
+                              "rng": template.rng, "step": int(template.step)})
+        with ocp.StandardCheckpointer() as ckptr:
+            try:
+                r = ckptr.restore(path.absolute(), tpl)
+                state = template.replace(
+                    params=r["params"], opt_state=r["opt_state"],
+                    rng=jnp.asarray(r["rng"]),
+                    step=jnp.asarray(r["step"], jnp.int32))
+            except (KeyError, ValueError):  # legacy {params, step} package
+                r = ckptr.restore(path.absolute())
+                step = int(path.name.split("_")[-1])
+                state = template.replace(
+                    params=jax.tree.map(jnp.asarray, r["params"]),
+                    step=jnp.asarray(r.get("step", step), jnp.int32))
+        return jax.device_put(state, self._state_shardings(state))
+
     def export_torch(self, state: TrainState, path: Path):
+        """Reference checkpoint package {'model','optim','scheduler'} with
+        REAL optimizer/scheduler content (reference: trainer.py:209-215), so
+        the package round-trips through torch-side tooling."""
         import torch
 
-        from ..compat.torch_ckpt import params_to_torch_state
+        from ..compat.torch_ckpt import (optim_state_to_torch,
+                                         params_to_torch_state,
+                                         scheduler_state_to_torch)
+        params = jax.device_get(state.params)
+        step = int(state.step)
         sd = {k: torch.from_numpy(np.array(v)) for k, v in
-              params_to_torch_state(jax.device_get(state.params),
-                                    self.config.model).items()}
-        torch.save({"model": sd, "optim": {}, "scheduler": {}}, path)
+              params_to_torch_state(params, self.config.model).items()}
+        optim = optim_state_to_torch(params, jax.device_get(state.opt_state),
+                                     self.config.model, self.config.train, step)
+        sched = scheduler_state_to_torch(self.config.train, step,
+                                         last_lr=float(self.schedule(step)))
+        torch.save({"model": sd, "optim": optim, "scheduler": sched}, path)
 
     def load_params(self, path) -> Any:
         """Resume model params from an orbax dir or a torch .pt package."""

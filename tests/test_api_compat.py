@@ -50,6 +50,40 @@ class TestWrapper:
         loss = wrapper.forward(x1, cond=cond, rng=jax.random.PRNGKey(2))
         assert np.isfinite(float(loss))
 
+    def test_forward_input_sampling_rate(self, wrapper, rng):
+        """Raw audio at 16 kHz with input_sampling_rate=16000 must match
+        pre-resampling to the codec rate by hand (reference resamples before
+        encode, cfm_superresolution.py:309-323)."""
+        from flowhigh_tpu.dsp.resample import resample_poly
+        key = jax.random.PRNGKey(7)
+        x1_16k = jnp.asarray(
+            (rng.standard_normal((2, 16000)) * 0.3).astype(np.float32))
+        cond_16k = jnp.asarray(
+            (rng.standard_normal((2, 16000)) * 0.3).astype(np.float32))
+        loss_a = wrapper.forward(x1_16k, cond=cond_16k,
+                                 input_sampling_rate=16000, rng=key)
+        loss_b = wrapper.forward(resample_poly(x1_16k, 3, 1),
+                                 cond=resample_poly(cond_16k, 3, 1), rng=key)
+        np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+        # without the kwarg the 16 kHz audio is treated as codec-rate: the
+        # mel sequence is 3x shorter and the loss genuinely differs
+        loss_c = wrapper.forward(x1_16k, cond=cond_16k, rng=key)
+        assert abs(float(loss_c) - float(loss_a)) > 1e-6
+
+    def test_forward_cond_freq_masking_changes_loss(self, wrapper, rng):
+        x1 = jnp.asarray((rng.standard_normal((2, 24000)) * 0.3).astype(np.float32))
+        cond = jnp.asarray((rng.standard_normal((2, 24000)) * 0.3).astype(np.float32))
+        key = jax.random.PRNGKey(3)
+        l0 = wrapper.forward(x1, cond=cond, rng=key)
+        l1 = wrapper.forward(x1, cond=cond, rng=key, cond_freq_masking=True)
+        assert np.isfinite(float(l1))
+        assert float(l0) != float(l1)
+        # random_sr is accepted for signature parity (and unused, like the
+        # reference flow.py:191)
+        l2 = wrapper.forward(x1, cond=cond, rng=key,
+                             random_sr=[8000, 16000])
+        np.testing.assert_allclose(float(l0), float(l2), rtol=0)
+
     def test_load_reference_layout(self, wrapper, tmp_path):
         from flowhigh_tpu.compat import params_to_torch_state
         sd = params_to_torch_state(wrapper.flowhigh.params,

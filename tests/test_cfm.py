@@ -257,6 +257,67 @@ class TestAdaptiveSolver:
         adap = odeint_adaptive(f, y0, 1e-6, 1e-6)
         np.testing.assert_allclose(np.asarray(adap), np.asarray(fixed), atol=1e-4)
 
+    def test_per_sample_step_control(self):
+        """torchode semantics (reference: cfm_superresolution.py:259-276):
+        each batch item is solved independently — one stiff + one easy item
+        in the same batch get independent accepted-step counts."""
+        from flowhigh_tpu.cfm import odeint_adaptive
+        stiff = 60.0
+
+        def f(t, y):
+            # item 0: y' = -y (easy); item 1: y' = -stiff*(y - cos(t)) (stiff)
+            tb = t[:, None]
+            easy = -y
+            hard = -stiff * (y - jnp.cos(tb))
+            sel = jnp.arange(y.shape[0])[:, None] == 1
+            return jnp.where(sel, hard, easy)
+
+        y0 = jnp.ones((2, 4))
+        y, stats = odeint_adaptive(f, y0, 1e-6, 1e-6, return_stats=True)
+        assert bool(stats.converged.all())
+        n_easy, n_hard = int(stats.n_accepted[0]), int(stats.n_accepted[1])
+        assert n_hard > 2 * n_easy, (n_easy, n_hard)
+        # both solutions correct
+        import scipy.integrate as si
+        ref_easy = float(np.exp(-1.0))
+        ref_hard = si.solve_ivp(
+            lambda t, y: -stiff * (y - np.cos(t)), (0, 1), [1.0],
+            rtol=1e-9, atol=1e-9).y[0, -1]
+        np.testing.assert_allclose(float(y[0, 0]), ref_easy, atol=1e-5)
+        np.testing.assert_allclose(float(y[1, 0]), ref_hard, atol=1e-4)
+
+    def test_nonconvergence_is_reported(self):
+        from flowhigh_tpu.cfm import odeint_adaptive
+
+        def f(t, y):
+            return -1000.0 * y  # very stiff, tiny step budget below
+
+        y, stats = odeint_adaptive(f, jnp.ones((1, 2)), 1e-9, 1e-9,
+                                   max_steps=3, return_stats=True)
+        assert not bool(stats.converged.all())
+        assert int(stats.n_loops) == 3
+
+    def test_sample_warns_on_unconverged(self, rng):
+        import warnings as w
+        from flowhigh_tpu import ConditionalFlowMatcherWrapper, FLowHigh
+        from flowhigh_tpu import cfm as cfm_mod
+        fh = FLowHigh(dim_in=8, dim=16, depth=2, dim_head=4, heads=2)
+        fh.init_params(jax.random.PRNGKey(0))
+        wrp = ConditionalFlowMatcherWrapper(
+            fh, use_torchode=True, cfm_method="basic_cfm",
+            ode_atol=1e-12, ode_rtol=1e-12)
+        cond = jnp.asarray(rng.standard_normal((1, 12, 8)).astype(np.float32))
+        orig = cfm_mod.odeint_adaptive
+        import functools
+        cfm_mod.odeint_adaptive = functools.partial(orig, max_steps=2)
+        try:
+            with w.catch_warnings(record=True) as caught:
+                w.simplefilter("always")
+                wrp.sample(cond=cond, decode_to_audio=False)
+            assert any("max_steps" in str(c.message) for c in caught)
+        finally:
+            cfm_mod.odeint_adaptive = orig
+
     def test_wrapper_use_torchode_flag(self, rng):
         from flowhigh_tpu import ConditionalFlowMatcherWrapper, FLowHigh
         fh = FLowHigh(dim_in=8, dim=16, depth=2, dim_head=4, heads=2)

@@ -135,6 +135,72 @@ class TestMel:
         assert np.asarray(lg).min() >= np.log(1e-5) - 1e-6
 
 
+class TestSoxrHQDesign:
+    """upsampling_method='librosa' analog: soxr itself is unavailable
+    offline, so the design is validated against the soxr HQ *specs*
+    (~120 dB image rejection, flat passband to ~0.9 Nyquist) rather than
+    tap-level parity (see dsp/resample.py:_design)."""
+
+    def test_passband_flat_and_images_rejected(self):
+        from flowhigh_tpu.dsp.resample import resample_poly
+        sr_in, up = 16000, 3
+        t = np.arange(sr_in) / sr_in
+        f0 = 3000.0
+        x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        y = np.asarray(resample_poly(jnp.asarray(x[None]), up, 1,
+                                     design="soxr_hq"))[0]
+        spec = np.abs(np.fft.rfft(y[2000:-2000] * np.hanning(len(y) - 4000)))
+        freqs = np.fft.rfftfreq(len(y) - 4000, 1 / (sr_in * up))
+        tone = spec[np.argmin(np.abs(freqs - f0))]
+        # images of a 3 kHz tone under x3 upsampling land at 13/19/29/35 kHz
+        img_mask = freqs > 10000
+        rejection_db = 20 * np.log10(spec[img_mask].max() / tone)
+        assert rejection_db < -100, rejection_db
+        # passband amplitude preserved
+        assert abs(tone / (0.5 * (len(y) - 4000) * 0.5) - 1.0) < 0.01
+
+    def test_output_length_matches_scipy_grid(self):
+        from flowhigh_tpu.dsp.resample import output_length, resample_poly
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (1, 1000)).astype(np.float32))
+        for up, down in [(3, 1), (160, 147), (1, 2)]:
+            y = resample_poly(x, up, down, design="soxr_hq")
+            assert y.shape[-1] == output_length(1000, up, down)
+
+    def test_flowhighsr_librosa_mode(self):
+        from flowhigh_tpu import FlowHighSR
+        from flowhigh_tpu.config import (FlowHighConfig, ModelConfig,
+                                         VocoderConfig)
+        import pytest
+        cfg = FlowHighConfig().replace(
+            model=ModelConfig(dim_in=256, dim=16, depth=2, heads=2, dim_head=4),
+            vocoder=VocoderConfig(
+                num_mels=256, upsample_initial_channel=16,
+                upsample_rates=(8, 5, 4, 3), upsample_kernel_sizes=(16, 10, 8, 6),
+                resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),)))
+        with pytest.raises(ValueError):
+            FlowHighSR(cfg, upsampling_method="torchaudio")
+        sr_sci = FlowHighSR(cfg, ode_method="euler")
+        sr_sox = FlowHighSR(cfg, ode_method="euler",
+                            upsampling_method="librosa")
+        import jax
+        sr_sci.init_params(jax.random.PRNGKey(0))
+        sr_sox.params = sr_sci.params
+        sr_sox.melvoco.vocoder_params = sr_sci.melvoco.vocoder_params
+        t = np.arange(16000) / 16000
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        a = sr_sci.generate(x, 16000, timestep=1)
+        b = sr_sox.generate(x, 16000, timestep=1)
+        assert a.shape == b.shape
+        assert float(np.abs(a - b).max()) > 0  # different FIR actually used
+        # on a band-limited tone the two FIR designs resample near-identically
+        up_sci = np.asarray(resample_poly(jnp.asarray(x[None]), 3, 1))
+        up_sox = np.asarray(resample_poly(jnp.asarray(x[None]), 3, 1,
+                                          design="soxr_hq"))
+        np.testing.assert_allclose(up_sci[:, 200:-200], up_sox[:, 200:-200],
+                                   atol=2e-3)
+
+
 class TestFilters:
     def test_sosfiltfilt_matches_scipy(self, rng):
         x = rng.standard_normal(4000).astype(np.float64) * 0.5

@@ -163,6 +163,31 @@ class TestVocoderTrainer:
 
 
 class TestValidation:
+    def test_random_split_deterministic_and_disjoint(self):
+        from flowhigh_tpu.train import random_split
+        ds = SyntheticAudioDataset(n_items=40, seconds=0.2)
+        tr1, va1 = random_split(ds, 0.05, seed=53)
+        tr2, va2 = random_split(ds, 0.05, seed=53)
+        assert tr1.indices == tr2.indices and va1.indices == va2.indices
+        assert len(tr1) == 38 and len(va1) == 2  # int(0.95*40)
+        assert not set(tr1.indices) & set(va1.indices)
+        assert sorted(tr1.indices + va1.indices) == list(range(40))
+        tr3, _ = random_split(ds, 0.05, seed=7)
+        assert tr3.indices != tr1.indices
+
+    def test_fit_writes_valid_loss(self, tiny_batch, tmp_path):
+        import json
+        tr = Trainer(TINY_CFG, mesh=make_mesh(n_data=2, n_model=1),
+                     results_folder=tmp_path)
+        it = iter(lambda: tiny_batch, None)
+        tr.fit(it, num_steps=4, log_every=10, save_every=0, eval_every=2,
+               valid_batches=[tiny_batch], log_fn=lambda *_: None)
+        lines = [json.loads(l) for l in
+                 (tmp_path / "metrics.jsonl").read_text().splitlines()]
+        vl = [l for l in lines if "valid_loss" in l]
+        assert [l["step"] for l in vl] == [2, 4]
+        assert all(np.isfinite(l["valid_loss"]) for l in vl)
+
     def test_evaluate(self, tiny_batch):
         tr = Trainer(TINY_CFG, mesh=make_mesh(n_data=2, n_model=1))
         state = tr.init_state(jax.random.PRNGKey(0))
@@ -207,6 +232,87 @@ class TestVocoderDataAndScan:
         state = tr.init_state(jax.random.PRNGKey(0))
         state, m = tr.train_step(state, tiny_batch)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestFullStateCheckpoint:
+    """Checkpoints carry the FULL training state: params + Adam moments + rng
+    + step (the reference saves {'model','optim','scheduler'},
+    trainer.py:209-215); resume after a kill is bit-identical."""
+
+    def test_kill_and_resume_bit_identical(self, tiny_batch, tmp_path):
+        mesh = make_mesh(n_data=1, n_model=1)
+        # uninterrupted run: 4 steps
+        tr = Trainer(TINY_CFG, mesh=mesh, results_folder=tmp_path / "a")
+        s = tr.init_state(jax.random.PRNGKey(0))
+        for _ in range(4):
+            s, _ = tr.train_step(s, tiny_batch)
+
+        # interrupted run: 2 steps, save, then a fresh trainer auto-resumes
+        tr1 = Trainer(TINY_CFG, mesh=mesh, results_folder=tmp_path / "b")
+        s1 = tr1.init_state(jax.random.PRNGKey(0))
+        for _ in range(2):
+            s1, _ = tr1.train_step(s1, tiny_batch)
+        tr1.save(s1)
+        del tr1, s1
+
+        tr2 = Trainer(TINY_CFG, mesh=mesh, results_folder=tmp_path / "b")
+        it = iter(lambda: tiny_batch, None)
+        s2 = tr2.fit(it, num_steps=4, log_every=10, save_every=0,
+                     log_fn=lambda *_: None, auto_resume=True)
+        assert int(s2.step) == 4
+        for a, b in zip(jax.tree.leaves(s.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(s.opt_state),
+                        jax.tree.leaves(s2.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(s.rng), np.asarray(s2.rng))
+
+    def test_torch_export_loads_into_reference_adam(self, tiny_batch, tmp_path):
+        """The exported {'model','optim','scheduler'} package round-trips:
+        torch Adam/CosineAnnealingLR built the reference way load it, and
+        every exp_avg lands on the right parameter (value-level check)."""
+        import torch
+        import torch_ref
+
+        from flowhigh_tpu.compat.torch_ckpt import (_find_adam_state,
+                                                    params_to_torch_state)
+
+        tr = Trainer(TINY_CFG, mesh=make_mesh(n_data=1, n_model=1),
+                     results_folder=tmp_path)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, _ = tr.train_step(state, tiny_batch)
+        state, _ = tr.train_step(state, tiny_batch)
+        tr.save(state)
+        pkg = torch.load(tmp_path / "FLowHigh.2.pt", map_location="cpu",
+                         weights_only=False)
+        assert pkg["optim"]["state"], "optim state must not be empty"
+        assert pkg["scheduler"]["last_epoch"] == 2
+
+        m = TINY_CFG.model
+        replica = torch_ref.TorchFLowHigh(dim_in=m.dim_in, dim=m.dim,
+                                          depth=m.depth, dim_head=m.dim_head,
+                                          heads=m.heads)
+        opt = torch.optim.Adam(replica.parameters(), lr=TINY_CFG.train.lr,
+                               betas=(0.9, 0.99))
+        opt.load_state_dict(pkg["optim"])
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+            opt, T_max=TINY_CFG.train.num_train_steps)
+        sched.load_state_dict(pkg["scheduler"])
+        assert sched.last_epoch == 2
+
+        adam = _find_adam_state(jax.device_get(state.opt_state))
+        mu_t = params_to_torch_state(adam.mu, m)
+        n_state = 0
+        for name, p in replica.named_parameters():
+            if name == "null_cond":
+                assert p not in opt.state  # frozen: no Adam state
+                continue
+            st = opt.state[p]
+            assert st["exp_avg"].shape == p.shape
+            np.testing.assert_allclose(st["exp_avg"].numpy(),
+                                       mu_t["flowhigh." + name], atol=0)
+            n_state += 1
+        assert n_state == len(pkg["optim"]["state"])
 
 
 class TestAutoResume:

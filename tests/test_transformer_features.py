@@ -1,0 +1,170 @@
+"""Optional reference transformer features: register tokens, U-Net skip
+connections, GateLoop layers (reference: src/flowhigh/models/transformer.py:
+119-154,177-198,213-222) — constructor-kwargs parity + behavior checks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flowhigh_tpu import FLowHigh
+from flowhigh_tpu.config import ModelConfig
+from flowhigh_tpu.models import VectorFieldNet
+
+
+def _make(rng_seed=0, **opts):
+    cfg = ModelConfig(dim_in=8, dim=16, depth=2, heads=2, dim_head=4, **opts)
+    net = VectorFieldNet(cfg)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, 12, 8)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(rng_seed), x,
+                      times=jnp.zeros((2,)), cond=x)
+    return cfg, net, params, x
+
+
+class TestRegisterTokens:
+    def test_shape_preserved_and_params_exist(self):
+        cfg, net, params, x = _make(num_register_tokens=4)
+        assert params["params"]["transformer"]["register_tokens"].shape == (4, 16)
+        y = net.apply(params, x, times=jnp.zeros((2,)), cond=x)
+        assert y.shape == x.shape  # registers are stripped before the head
+
+    def test_registers_change_output(self):
+        cfg, net, params, x = _make(num_register_tokens=4)
+        y1 = net.apply(params, x, times=jnp.zeros((2,)), cond=x)
+        p2 = jax.tree_util.tree_map_with_path(
+            lambda path, v: v + 1.0 if "register_tokens" in str(path) else v,
+            params)
+        y2 = net.apply(p2, x, times=jnp.zeros((2,)), cond=x)
+        assert float(jnp.abs(y1 - y2).max()) > 1e-6
+
+    def test_mask_padded_for_registers(self):
+        cfg, net, params, x = _make(num_register_tokens=2)
+        mask = jnp.ones((2, 12), bool).at[:, 8:].set(False)
+        y = net.apply(params, x, times=jnp.zeros((2,)), cond=x, mask=mask)
+        assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+
+
+class TestUnetSkips:
+    def test_combiner_on_second_half_only(self):
+        cfg, net, params, x = _make(use_unet_skip_connection=True)
+        tr = params["params"]["transformer"]
+        assert "layers_0_skip_combiner" not in tr
+        assert tr["layers_1_skip_combiner"]["kernel"].shape == (32, 16)
+        y = net.apply(params, x, times=jnp.zeros((2,)), cond=x)
+        assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+
+    def test_odd_depth_rejected(self):
+        cfg = ModelConfig(dim_in=8, dim=16, depth=3, heads=2, dim_head=4,
+                          use_unet_skip_connection=True)
+        net = VectorFieldNet(cfg)
+        x = jnp.zeros((1, 4, 8))
+        with pytest.raises(AssertionError):
+            net.init(jax.random.PRNGKey(0), x, times=jnp.zeros((1,)), cond=x)
+
+    def test_skip_scale_changes_output(self):
+        _, net1, params, x = _make(use_unet_skip_connection=True)
+        cfg2 = ModelConfig(dim_in=8, dim=16, depth=2, heads=2, dim_head=4,
+                           use_unet_skip_connection=True,
+                           skip_connect_scale=0.0)
+        net2 = VectorFieldNet(cfg2)
+        y1 = net1.apply(params, x, times=jnp.zeros((2,)), cond=x)
+        y2 = net2.apply(params, x, times=jnp.zeros((2,)), cond=x)
+        assert float(jnp.abs(y1 - y2).max()) > 1e-6
+
+
+class TestGateLoop:
+    def test_runs_and_is_causal(self):
+        cfg, net, params, x = _make(use_gateloop_layers=True)
+        assert "layers_0_gateloop" in params["params"]["transformer"]
+        y = net.apply(params, x, times=jnp.zeros((2,)), cond=x)
+        assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+
+        # the gateloop recurrence itself is causal: check on the module
+        from flowhigh_tpu.models.transformer import GateLoop
+        gl = GateLoop(16)
+        h = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (1, 10, 16)).astype(np.float32))
+        p = gl.init(jax.random.PRNGKey(0), h)
+        out_full = gl.apply(p, h)
+        h2 = h.at[:, 7:].set(0.0)  # perturb the future
+        out_cut = gl.apply(p, h2)
+        np.testing.assert_allclose(np.asarray(out_full[:, :7]),
+                                   np.asarray(out_cut[:, :7]),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_associative_scan_matches_sequential(self):
+        # s_t = a_t s_{t-1} + b_t: scan result equals a python loop
+        rng = np.random.default_rng(1)
+        a = jax.nn.sigmoid(jnp.asarray(rng.standard_normal((1, 6, 3)),
+                                       dtype=jnp.float32))
+        b = jnp.asarray(rng.standard_normal((1, 6, 3)), dtype=jnp.float32)
+
+        def combine(l, r):
+            return l[0] * r[0], l[1] * r[0] + r[1]
+
+        _, s = jax.lax.associative_scan(combine, (a, b), axis=1)
+        s_ref = np.zeros((1, 6, 3), np.float32)
+        acc = np.zeros((1, 3), np.float32)
+        for t in range(6):
+            acc = np.asarray(a)[:, t] * acc + np.asarray(b)[:, t]
+            s_ref[:, t] = acc
+        np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-5, atol=1e-6)
+
+
+class TestConstructorSurface:
+    def test_reference_kwargs_accepted(self):
+        fh = FLowHigh(dim_in=8, dim=16, depth=2, dim_head=4, heads=2,
+                      dim_cond_emb=0, ff_dropout=0.0, attn_dropout=0.0,
+                      time_hidden_dim=None, conv_pos_embed_groups=None,
+                      attn_flash=False, use_gateloop_layers=True,
+                      num_register_tokens=2, use_unet_skip_connection=True)
+        assert fh.config.use_gateloop_layers
+        assert fh.config.num_register_tokens == 2
+
+    def test_unsupported_kwargs_raise_loudly(self):
+        with pytest.raises(NotImplementedError):
+            FLowHigh(dim_in=8, dim=16, depth=2, ff_dropout=0.1)
+        with pytest.raises(NotImplementedError):
+            FLowHigh(dim_in=8, dim=16, depth=2, dim_cond_emb=4)
+
+    def test_ckpt_roundtrip_with_features(self):
+        """register tokens + skip combiners export to the reference torch
+        layout and load back bit-exactly through the compat mapper."""
+        import torch
+
+        from flowhigh_tpu.compat.torch_ckpt import (map_model_state_dict,
+                                                    params_to_torch_state)
+        cfg, net, params, x = _make(num_register_tokens=3,
+                                    use_unet_skip_connection=True)
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+              params_to_torch_state(params, cfg).items()}
+        assert "flowhigh.transformer.register_tokens" in sd
+        assert "flowhigh.transformer.layers.1.0.weight" in sd
+        p2 = map_model_state_dict(sd, cfg)
+        y1 = net.apply(params, x, times=jnp.zeros((2,)), cond=x)
+        y2 = net.apply(p2, x, times=jnp.zeros((2,)), cond=x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+    def test_gateloop_ckpt_rejected_loudly(self):
+        from flowhigh_tpu.compat.torch_ckpt import (map_model_state_dict,
+                                                    params_to_torch_state)
+        cfg, net, params, x = _make(use_gateloop_layers=True)
+        with pytest.raises(NotImplementedError):
+            params_to_torch_state(params, cfg)
+        with pytest.raises(NotImplementedError):
+            map_model_state_dict(
+                {"flowhigh.transformer.layers.0.1.to_qkva.weight": 0}, cfg)
+
+    def test_optimizer_order_includes_features(self):
+        from flowhigh_tpu.compat.torch_ckpt import reference_param_order
+        cfg = ModelConfig(dim_in=8, dim=16, depth=2, heads=2, dim_head=4,
+                          num_register_tokens=2, use_unet_skip_connection=True)
+        order = reference_param_order(cfg)
+        assert "transformer.register_tokens" in order
+        assert "transformer.layers.1.0.weight" in order
+        assert "transformer.layers.0.0.weight" not in order
+        # register tokens come before the layers (direct param of Transformer)
+        assert (order.index("transformer.register_tokens")
+                < order.index("transformer.layers.0.2.to_gamma.weight"))
