@@ -61,7 +61,7 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def run(k):
-        out, n48 = sr._generate_jit(
+        out, n48, _stats = sr._generate_jit(
             sr.params, sr.melvoco.vocoder_params, audio_dev, n_valid, k,
             in_sr, 48000, 1, sr.cfm_method, sr.ode_method, 1.0, 1.0)
         return out

@@ -133,7 +133,8 @@ def upsample1d(x: jax.Array, ratio: int = 2, kernel_size: Optional[int] = None) 
     pad_left = pad * ratio + (k - ratio) // 2
     pad_right = pad * ratio + (k - ratio + 1) // 2
     filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, k)
-    w = jnp.asarray(filt).reshape(k, 1, 1) * jnp.ones((1, 1, c), x.dtype)  # [K,1,C]
+    w = (jnp.asarray(filt).reshape(k, 1, 1)
+         * jnp.ones((1, 1, c))).astype(x.dtype)  # [K,1,C]
     x = _replicate_pad_time(x, pad, pad)
     # torch conv_transpose1d with symmetric filter: flip == identity, but keep
     # the generic path via conv_transpose1d (depthwise: w as [K, Cout/groups=1, Cin...])
@@ -154,7 +155,8 @@ def downsample1d(x: jax.Array, ratio: int = 2, kernel_size: Optional[int] = None
     pad_left = k // 2 - int(even)
     pad_right = k // 2
     filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, k)
-    w = jnp.asarray(filt).reshape(k, 1, 1) * jnp.ones((1, 1, c), x.dtype)
+    w = (jnp.asarray(filt).reshape(k, 1, 1)
+         * jnp.ones((1, 1, c))).astype(x.dtype)
     x = _replicate_pad_time(x, pad_left, pad_right)
     return jax.lax.conv_general_dilated(
         x, w, (ratio,), [(0, 0)],
@@ -304,6 +306,11 @@ class BigVGAN(nn.Module):
     packed: bool = False     # space-to-depth MRF for narrow-channel stages
     conv_dtype: Optional[jnp.dtype] = None  # packed-conv MXU dtype (e.g. bf16)
     pallas_convs: bool = False  # resblock convs via the Pallas MXU kernel
+    # HBM dtype of the packed-stage feature maps. The vocoder is bandwidth-
+    # bound (PERF.md): bf16 storage halves the traffic of every act/conv pass
+    # while both Pallas kernels still accumulate in f32 internally. Only
+    # applies inside packed stages; stage-boundary convs stay in ``dtype``.
+    storage_dtype: Optional[jnp.dtype] = None
 
     def _pack_factor(self, ch: int, t: int) -> int:
         """Smallest power-of-two p with ch*p >= 256 (full lane tiles); 1 when
@@ -339,6 +346,11 @@ class BigVGAN(nn.Module):
             if p > 1:
                 from ..ops.packed import pack_time
                 x = pack_time(x, p)
+            if self.storage_dtype is not None:
+                # the MRF is HBM-bound: store feature maps in storage_dtype
+                # (kernels still accumulate f32); stage-boundary upsamplers
+                # read f32 via the astype above
+                x = x.astype(self.storage_dtype)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):

@@ -95,6 +95,7 @@ class FlowHighSR:
         fused_vocoder: bool = False,
         packed_vocoder: Optional[bool] = None,  # default: follows fused_vocoder
         vocoder_conv_dtype=None,
+        vocoder_storage_dtype=None,  # e.g. jnp.bfloat16: halve packed-stage HBM traffic
         use_torchode: bool = False,
         ode_atol: float = 1e-5,
         ode_rtol: float = 1e-5,
@@ -122,7 +123,8 @@ class FlowHighSR:
         self.melvoco = MelVoco(config.mel, config.vocoder, vocoder_params,
                                fused_act=fused_vocoder, packed=packed_vocoder,
                                conv_dtype=vocoder_conv_dtype,
-                               pallas_convs=packed_vocoder)
+                               pallas_convs=packed_vocoder,
+                               storage_dtype=vocoder_storage_dtype)
         self.params = params
 
     # -- setup -----------------------------------------------------------------
@@ -312,6 +314,23 @@ class FlowHighSR:
         _warn_if_unconverged(stats)
         n48 = int(n48[0])
         return np.asarray(out)[:, :n48]
+
+    def dispatch_generate(self, batch: np.ndarray, lens: np.ndarray, sr: int,
+                          target_sampling_rate: int = 48000,
+                          timestep: int = 1, seed: int = 0):
+        """Async-dispatch one pre-padded [B, T] batch through the jitted
+        pipeline and return DEVICE arrays (out, n48, stats) immediately —
+        JAX dispatch is asynchronous, so callers (StreamingSR) can keep
+        several batches in flight: batch k+1's host->device upload overlaps
+        batch k's compute instead of serializing on each ``np.asarray``."""
+        std_1, std_2 = 1.0, self.sigma
+        if self.cfm_method == "independent_cfm_adaptive":
+            std_2 = 1.0
+        return self._generate_jit(
+            self.params, self.melvoco.vocoder_params,
+            jnp.asarray(batch), jnp.asarray(lens), jax.random.PRNGKey(seed),
+            int(sr), int(target_sampling_rate), int(timestep),
+            self.cfm_method, self.ode_method, float(std_1), float(std_2))
 
     def generate_batch(
         self,

@@ -62,22 +62,50 @@ class StreamingSR:
         ramp = np.sin(0.5 * np.pi * np.linspace(0, 1, overlap_out)) ** 2
 
         # all chunks share one shape -> process them in device batches: the
-        # control round trip amortizes and the chip fills better
+        # control round trip amortizes and the chip fills better. Batches are
+        # DISPATCHED ahead (async JAX dispatch, ``pipeline_depth`` in flight)
+        # and fetched in order, so host->device uploads and device->host
+        # downloads overlap compute instead of serializing per batch — the
+        # round-1 streaming path was host-transfer-bound.
         segs = []
         for c in range(n_chunks):
             seg = audio[c * hop_in : c * hop_in + chunk_in]
             if len(seg) < chunk_in:
                 seg = np.pad(seg, (0, chunk_in - len(seg)))
-            segs.append(seg)
-        ys = []
-        for b0 in range(0, n_chunks, self.batch_size):
+            segs.append(seg.astype(np.float32))
+
+        from .sr import _warn_if_unconverged
+        pipeline_depth = 4
+        starts = list(range(0, n_chunks, self.batch_size))
+        pending: list = []  # (device_out, n_real_rows, device_stats)
+        ys: list = []
+
+        def fetch_one():
+            out_d, nb, stats = pending.pop(0)
+            _warn_if_unconverged(stats)
+            out_np = np.asarray(out_d)
+            ys.extend(out_np[i] for i in range(nb))
+
+        for b0 in starts:
             batch = segs[b0 : b0 + self.batch_size]
-            ys.extend(self.model.generate_batch(
-                batch, sr, target_sampling_rate, timestep, seed=seed + b0))
+            nb = len(batch)
+            if nb < self.batch_size:
+                # pad rows so every batch reuses ONE compiled program
+                batch = batch + [np.zeros(chunk_in, np.float32)] * (
+                    self.batch_size - nb)
+            arr = np.stack(batch)
+            lens = np.full((len(batch),), chunk_in, np.int32)
+            out_d, _, stats = self.model.dispatch_generate(
+                arr, lens, sr, target_sampling_rate, timestep, seed=seed + b0)
+            pending.append((out_d, nb, stats))
+            if len(pending) >= pipeline_depth:
+                fetch_one()
+        while pending:
+            fetch_one()
 
         for c in range(n_chunks):
             start = c * hop_in
-            y = ys[c][0][: to_out(chunk_in)]
+            y = ys[c][: to_out(chunk_in)]
 
             w = np.ones(len(y), np.float32)
             if c > 0:

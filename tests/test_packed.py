@@ -156,3 +156,33 @@ def test_pallas_bigvgan_matches_unpacked(rng):
     got = BigVGAN(cfg, packed=True, pallas_convs=True).apply(params, mel)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_pallas_bigvgan_bf16_storage_close_to_f32(rng):
+    """bf16 HBM storage of the packed stages (storage_dtype=bfloat16) stays
+    numerically close to the exact f32 path: both Pallas kernels accumulate
+    in f32, so only the inter-op feature maps round to bf16."""
+    import jax
+    from flowhigh_tpu.config import VocoderConfig
+    from flowhigh_tpu.models.bigvgan import BigVGAN
+
+    cfg = VocoderConfig(
+        num_mels=8, upsample_initial_channel=64,
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        resblock_kernel_sizes=(3, 7), resblock_dilation_sizes=((1, 3), (1, 3)),
+    )
+    mel = jnp.asarray(rng.standard_normal((1, 40, 8)).astype(np.float32) * 0.3)
+    plain = BigVGAN(cfg)
+    params = plain.init(jax.random.PRNGKey(0), mel)
+    ref = np.asarray(plain.apply(params, mel))
+    got = np.asarray(BigVGAN(cfg, packed=True, pallas_convs=True,
+                             storage_dtype=jnp.bfloat16).apply(params, mel))
+    assert got.dtype == np.float32  # output stays f32 (tanh in f32)
+    # bf16 rounding through ~10 ops: relative error bounded well below
+    # perceptual relevance (waveform is tanh-bounded)
+    err = np.abs(got - ref).max()
+    assert err < 5e-2, err
+    # and correlation stays essentially 1
+    denom = (ref * ref).sum() ** 0.5 * (got * got).sum() ** 0.5
+    corr = float((ref * got).sum() / (denom + 1e-12))
+    assert corr > 0.999, corr
