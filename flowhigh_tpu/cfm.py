@@ -323,7 +323,7 @@ def cfm_training_loss(
 ) -> jax.Array:
     """Path construction + segment crop + vector-field regression
     (reference: cfm_superresolution.py:287-527 + flow.py:276-309)."""
-    r_t, r_path, r_crop, r_drop, r_fm = jax.random.split(rng, 5)
+    r_t, r_path, r_crop, r_drop, r_fm, r_do = jax.random.split(rng, 6)
     if cond_freq_masking:
         cond_mel = freq_mask_cond(r_fm, cond_mel)
     b = x1_mel.shape[0]
@@ -342,7 +342,8 @@ def cfm_training_loss(
         drop_mask = jax.random.uniform(r_drop, (b,)) < cond_drop_prob
 
     pred = net_apply(params, w, times=t, cond=cond_c,
-                     cond_drop_mask=drop_mask, mask=mask)
+                     cond_drop_mask=drop_mask, mask=mask,
+                     train=True, rngs={"dropout": r_do})
     return cfm_loss(pred, flow, mask=mask, weighted=weighted, cutoff=ps.cutoff)
 
 

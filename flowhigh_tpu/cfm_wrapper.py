@@ -71,9 +71,6 @@ class FLowHigh:
             raise NotImplementedError(
                 "dim_cond_emb != 0 is accepted by the reference constructor "
                 "but never fed by any reference code path; unsupported here")
-        if ff_dropout != 0.0 or attn_dropout != 0.0:
-            raise NotImplementedError(
-                "dropout is 0 in every reference config; not implemented")
         if time_hidden_dim is not None and time_hidden_dim != dim:
             raise NotImplementedError(
                 "time_hidden_dim defaults to dim (flow.py:81-84); other "
@@ -91,6 +88,8 @@ class FLowHigh:
             ff_mult=ff_mult,
             conv_pos_embed_kernel_size=conv_pos_embed_kernel_size,
             attn_qk_norm=attn_qk_norm,
+            ff_dropout=ff_dropout,
+            attn_dropout=attn_dropout,
             num_register_tokens=num_register_tokens,
             use_unet_skip_connection=use_unet_skip_connection,
             skip_connect_scale=skip_connect_scale,
@@ -104,9 +103,11 @@ class FLowHigh:
         self.params = self.net.init(rng, mel, times=jnp.zeros(()), cond=mel)
         return self.params
 
-    def __call__(self, x, *, times, cond, cond_drop_mask=None, mask=None):
+    def __call__(self, x, *, times, cond, cond_drop_mask=None, mask=None,
+                 train=False, rngs=None):
         return self.net.apply(self.params, x, times=times, cond=cond,
-                              cond_drop_mask=cond_drop_mask, mask=mask)
+                              cond_drop_mask=cond_drop_mask, mask=mask,
+                              train=train, rngs=rngs)
 
 
 class ConditionalFlowMatcherWrapper:

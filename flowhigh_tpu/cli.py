@@ -102,6 +102,15 @@ def cmd_train(args) -> int:
     mesh = make_mesh(n_model=args.tp) if args.tp > 1 else make_mesh()
     trainer = Trainer(cfg, mesh=mesh, cfm_method=cfg.cfm.cfm_method,
                       results_folder=args.save_dir or cfg.train.save_dir)
+    # model summary at startup (reference: train.py:75 torchinfo.summary);
+    # eval_shape only — no init compile
+    import jax.numpy as jnp
+
+    from .utils import model_summary
+    dummy = jnp.zeros((1, 8, cfg.mel.n_mels))
+    shapes = jax.eval_shape(trainer.net.init, jax.random.PRNGKey(0), dummy,
+                            times=jnp.zeros(()), cond=dummy)
+    print(model_summary(shapes, "FLowHigh vector field"))
     pad_to = cfg.data.sampling_rate * 3
     data = batch_iterator(train_ds, cfg.train.batch_size, pad_to=pad_to)
     valid_iter = batch_iterator(valid_ds, min(cfg.train.batch_size,

@@ -77,6 +77,8 @@ class ModelConfig:
     heads: int = 16
     dim_head: int = 64
     ff_mult: int = 4
+    ff_dropout: float = 0.0
+    attn_dropout: float = 0.0
     conv_pos_embed_kernel_size: int = 31
     attn_qk_norm: bool = True
     attn_qk_norm_scale: float = 10.0

@@ -112,16 +112,19 @@ class MultiheadRMSNorm(nn.Module):
 
 class Attention(nn.Module):
     """Fused-QKV multi-head attention with qk-norm + RoPE
-    (reference: attend.py:153-189, 102-139)."""
+    (reference: attend.py:153-189, 102-139). ``dropout`` applies to the
+    attention matrix after softmax (reference: attend.py:49,131)."""
     dim: int
     heads: int = 16
     dim_head: int = 64
     qk_norm: bool = True
     qk_norm_scale: float = 10.0
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, rotary: jax.Array, mask: Optional[jax.Array] = None):
+    def __call__(self, x, *, rotary: jax.Array, mask: Optional[jax.Array] = None,
+                 deterministic: bool = True):
         b, n, _ = x.shape
         h, dh = self.heads, self.dim_head
         inner = h * dh
@@ -145,6 +148,8 @@ class Attention(nn.Module):
         if mask is not None:  # key-padding mask [B, N] boolean (True = keep)
             sim = jnp.where(mask[:, None, None, :], sim, jnp.finfo(jnp.float32).min)
         attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+        if self.dropout > 0.0:
+            attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
@@ -152,18 +157,21 @@ class Attention(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """GEGLU feed-forward, inner dim int(dim*mult*2/3)
-    (reference: transformer.py:92-104)."""
+    """GEGLU feed-forward, inner dim int(dim*mult*2/3), dropout between
+    GEGLU and the output projection (reference: transformer.py:92-104)."""
     dim: int
     mult: int = 4
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         inner = int(self.dim * self.mult * 2 / 3)
         xg = nn.Dense(inner * 2, name="proj_in", dtype=self.dtype)(x)
         x_, gate = jnp.split(xg, 2, axis=-1)
         x_ = gelu_exact(gate.astype(jnp.float32)).astype(self.dtype) * x_
+        if self.dropout > 0.0:
+            x_ = nn.Dropout(self.dropout, deterministic=deterministic)(x_)
         return nn.Dense(self.dim, name="proj_out", dtype=self.dtype)(x_)
 
 
@@ -220,10 +228,13 @@ class Transformer(nn.Module):
     use_unet_skip_connection: bool = False
     skip_connect_scale: Optional[float] = None
     use_gateloop_layers: bool = False
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, time_emb, mask: Optional[jax.Array] = None):
+    def __call__(self, x, *, time_emb, mask: Optional[jax.Array] = None,
+                 deterministic: bool = True):
         if self.use_unet_skip_connection:
             assert self.depth % 2 == 0, (
                 "u-net skip connections need an even depth "
@@ -268,12 +279,15 @@ class Transformer(nn.Module):
                 x, cond=time_emb)
             x = Attention(
                 self.dim, self.heads, self.dim_head, self.qk_norm,
-                self.qk_norm_scale, dtype=self.dtype, name=f"layers_{i}_attn",
-            )(attn_in, rotary=rotary, mask=mask) + x
+                self.qk_norm_scale, self.attn_dropout, dtype=self.dtype,
+                name=f"layers_{i}_attn",
+            )(attn_in, rotary=rotary, mask=mask,
+              deterministic=deterministic) + x
             ff_in = AdaptiveRMSNorm(self.dim, cond_dim, name=f"layers_{i}_ff_norm")(
                 x, cond=time_emb)
-            x = FeedForward(self.dim, self.ff_mult, dtype=self.dtype,
-                            name=f"layers_{i}_ff")(ff_in) + x
+            x = FeedForward(self.dim, self.ff_mult, self.ff_dropout,
+                            dtype=self.dtype, name=f"layers_{i}_ff")(
+                ff_in, deterministic=deterministic) + x
 
         if r > 0:
             x = x[:, r:]

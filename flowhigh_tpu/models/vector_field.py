@@ -42,6 +42,7 @@ class VectorFieldNet(nn.Module):
         cond: jax.Array,            # [B, T, dim_in] — low-res mel conditioning
         cond_drop_mask: Optional[jax.Array] = None,  # [B] bool, True = drop cond
         mask: Optional[jax.Array] = None,            # [B, T] bool, True = valid
+        train: bool = False,   # enables attn/ff dropout (needs 'dropout' rng)
     ) -> jax.Array:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -76,8 +77,9 @@ class VectorFieldNet(nn.Module):
                 use_unet_skip_connection=cfg.use_unet_skip_connection,
                 skip_connect_scale=cfg.skip_connect_scale,
                 use_gateloop_layers=cfg.use_gateloop_layers,
+                attn_dropout=cfg.attn_dropout, ff_dropout=cfg.ff_dropout,
                 dtype=dtype, name="transformer",
-            )(h, time_emb=t_emb, mask=mask)
+            )(h, time_emb=t_emb, mask=mask, deterministic=not train)
         elif cfg.architecture == "convnext":
             h = ConvNeXtBackbone(
                 dim=cfg.dim, num_layers=cfg.convnext_layers, mult=cfg.convnext_mult,

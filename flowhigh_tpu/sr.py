@@ -234,6 +234,15 @@ class FlowHighSR:
         ``audio``: [B, T_in_pad]; ``n_valid``: [] or [B] true sample counts —
         batched serving shares the same compiled program per (length, rate).
         """
+        return self._generate_impl(
+            params, vocoder_params, audio, n_valid, rng, in_sr, target_sr,
+            time_steps, cfm_method, ode_method, std_1, std_2)
+
+    def _generate_impl(
+        self, params, vocoder_params, audio, n_valid, rng,
+        in_sr: int, target_sr: int, time_steps: int, cfm_method: str,
+        ode_method: str, std_1: float, std_2: float,
+    ):
         hop = self.config.mel.hop_length
         design = "soxr_hq" if self.upsampling_method == "librosa" else "scipy"
         cond = resample_poly(audio, target_sr, in_sr, design)  # [B, T48_pad]
@@ -314,6 +323,54 @@ class FlowHighSR:
         _warn_if_unconverged(stats)
         n48 = int(n48[0])
         return np.asarray(out)[:, :n48]
+
+    def make_sharded_generate(self, mesh, in_sr: int,
+                              target_sampling_rate: int = 48000,
+                              timestep: int = 1):
+        """Multi-chip data-parallel serving: returns
+        ``fn(batch [B, T], lens [B], seed) -> (out [B, T48], n48 [B])`` with
+        batch rows sharded over the mesh's ``data`` axis via ``shard_map`` —
+        each chip runs the full single-chip pipeline (including the Pallas
+        kernels, which see local shapes) on its rows; the work is
+        embarrassingly parallel, so no collectives are emitted. B must be a
+        multiple of the data-axis size. The per-shard rng is folded with the
+        shard index so every item draws independent prior noise.
+
+        Fixed-grid solvers only (euler/midpoint — the production setting);
+        the adaptive solver's per-item stats don't cross shards cleanly."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        if self.ode_method == "adaptive":
+            raise NotImplementedError(
+                "sharded serving supports fixed-grid solvers (euler/midpoint)")
+        std_1, std_2 = 1.0, self.sigma
+        if self.cfm_method == "independent_cfm_adaptive":
+            std_2 = 1.0
+
+        def local(params, voc_params, batch, lens, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            out, n48, _ = self._generate_impl(
+                params, voc_params, batch, lens, key,
+                int(in_sr), int(target_sampling_rate), int(timestep),
+                self.cfm_method, self.ode_method, float(std_1), float(std_2))
+            return out, n48
+
+        sharded = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P("data", None), P("data"), P()),
+            out_specs=(P("data", None), P("data")),
+            check_vma=False))
+
+        def fn(batch, lens, seed: int = 0):
+            n_data = mesh.shape["data"]
+            assert batch.shape[0] % n_data == 0, (
+                f"batch {batch.shape[0]} must divide over data axis {n_data}")
+            return sharded(self.params, self.melvoco.vocoder_params,
+                           jnp.asarray(batch), jnp.asarray(lens, jnp.int32),
+                           jax.random.PRNGKey(seed))
+
+        return fn
 
     def dispatch_generate(self, batch: np.ndarray, lens: np.ndarray, sr: int,
                           target_sampling_rate: int = 48000,

@@ -21,7 +21,12 @@ from .sr import FlowHighSR
 
 class StreamingSR:
     def __init__(self, model: FlowHighSR, chunk_seconds: float = 10.0,
-                 overlap_seconds: float = 1.0, batch_size: int = 4):
+                 overlap_seconds: float = 1.0, batch_size: int = 1):
+        """``batch_size=1`` and 10 s chunks are the measured optimum on one
+        v5e chip: a single 10 s chunk already fills the chip (B=4 batching
+        measured 39x vs 48x per-clip after the packed-vocoder work; 20 s
+        chunks measured 44.4x vs 45.8x), so throughput comes from pipelined
+        dispatch — several chunks in flight — not from batching."""
         assert overlap_seconds < chunk_seconds / 2
         self.model = model
         self.chunk_seconds = chunk_seconds

@@ -122,3 +122,29 @@ class STFTMag:
             x = x[None, :]
         return stft_magnitude(x, self.nfft, self.hop, self.window_len,
                               center=True, pad_mode="reflect")
+
+
+def model_summary(params, name: str = "model") -> str:
+    """Parameter-count summary of a flax param pytree — the reference prints
+    ``torchinfo.summary`` at train startup (reference:
+    src/flowhigh/train/train.py:8,75). Groups counts by top-two path levels."""
+    import numpy as np
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    groups: dict = {}
+    total = 0
+    for path, leaf in flat:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        keys = [k for k in keys if k != "params"]
+        group = ".".join(keys[:2]) if keys else "<root>"
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        groups[group] = groups.get(group, 0) + n
+        total += n
+    width = max((len(g) for g in groups), default=10)
+    lines = [f"{name} parameter summary", "=" * (width + 16)]
+    for g in sorted(groups):
+        lines.append(f"{g:<{width}}  {groups[g]:>12,}")
+    lines.append("=" * (width + 16))
+    lines.append(f"{'total':<{width}}  {total:>12,}  "
+                 f"({total * 4 / 2**20:.1f} MB f32)")
+    return "\n".join(lines)

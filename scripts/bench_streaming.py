@@ -32,8 +32,7 @@ def main():
     model = FlowHighSR(FlowHighConfig(), cfm_method="independent_cfm_adaptive",
                        ode_method="euler", fused_vocoder=True)
     model.init_params(jax.random.PRNGKey(0), fast=True)
-    stream = StreamingSR(model, chunk_seconds=10.0, overlap_seconds=1.0,
-                         batch_size=4)
+    stream = StreamingSR(model)  # measured-optimal defaults (10 s chunks, B=1)
 
     rng = np.random.default_rng(0)
     n = int(in_sr * 60 * minutes)

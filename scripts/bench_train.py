@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Training-step throughput on the real TPU at the reference recipe scale
+(dim 1024 / depth 2 / 256 mels, 2 s random crops). Prints one JSON line.
+
+The reference trains batch 128 on one GPU (configs/config.json:33); here the
+batch is a CLI arg (default 32 — one v5e chip's HBM comfortably fits it with
+3 s clips; scale via the data mesh for the full 128)."""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--seconds", type=float, default=3.0)
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+
+    cache = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from flowhigh_tpu.config import FlowHighConfig, TrainConfig
+    from flowhigh_tpu.train import Trainer
+
+    cfg = FlowHighConfig().replace(train=TrainConfig(
+        batch_size=args.batch, num_train_steps=1000, num_warmup_steps=0))
+    tr = Trainer(cfg, cfm_method="independent_cfm_adaptive")
+    state = tr.init_state(jax.random.PRNGKey(0))
+
+    t_samp = int(48000 * args.seconds)
+    rng = np.random.default_rng(0)
+    batch = {
+        "wave": (rng.standard_normal((args.batch, t_samp)) * 0.3).astype(np.float32),
+        "cond": (rng.standard_normal((args.batch, t_samp)) * 0.3).astype(np.float32),
+        "lengths": np.full((args.batch,), t_samp, np.int32),
+    }
+    state, m = tr.train_step(state, batch)  # compile
+    _ = float(m["loss"])
+
+    # steady-state compute: batches pre-staged on device (matches the data
+    # pipeline's device_prefetch=True, where uploads overlap the running
+    # step; a synchronous 74 MB host->device upload through the axon tunnel
+    # otherwise dominates — measured 3.6 s/step vs ~0.15 s compute)
+    dev_batches = [jax.device_put(batch) for _ in range(2)]
+    times = []
+    for i in range(args.reps):
+        t0 = time.perf_counter()
+        state, m = tr.train_step(state, dev_batches[i % 2])
+        _ = float(m["loss"])  # honest per-step fetch
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    print(json.dumps({
+        "metric": f"train_step_b{args.batch}_3s_devstaged",
+        "steps_per_sec": round(1 / dt, 2),
+        "clips_per_sec": round(args.batch / dt, 1),
+        "ms_per_step": round(dt * 1e3, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -214,3 +214,68 @@ class TestAdaptiveSolverInSR:
         out = m.generate(audio, sr=8000, timestep=1)
         assert out.shape == (1, 48000)
         assert np.isfinite(out).all()
+
+
+class TestShardedServing:
+    """Multi-chip data-parallel generate over a Mesh (shard_map, 'data' axis)."""
+
+    def _model(self):
+        from flowhigh_tpu import FlowHighSR
+        from flowhigh_tpu.config import (FlowHighConfig, ModelConfig,
+                                         VocoderConfig)
+        cfg = FlowHighConfig().replace(
+            model=ModelConfig(dim_in=256, dim=16, depth=2, heads=2, dim_head=4),
+            vocoder=VocoderConfig(
+                num_mels=256, upsample_initial_channel=16,
+                upsample_rates=(8, 5, 4, 3), upsample_kernel_sizes=(16, 10, 8, 6),
+                resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),)))
+        m = FlowHighSR(cfg, cfm_method="independent_cfm_adaptive",
+                       ode_method="euler")
+        m.init_params(jax.random.PRNGKey(0))
+        return m
+
+    def test_dp8_generate(self):
+        from flowhigh_tpu.parallel import make_mesh
+        model = self._model()
+        mesh = make_mesh(n_data=8, n_model=1)
+        fn = model.make_sharded_generate(mesh, in_sr=16000, timestep=1)
+        rng = np.random.default_rng(0)
+        batch = (rng.standard_normal((8, 8000)) * 0.3).astype(np.float32)
+        lens = np.full((8,), 8000, np.int32)
+        out, n48 = fn(batch, lens)
+        assert out.shape == (8, 24000)
+        assert np.asarray(n48).tolist() == [24000] * 8
+        assert np.isfinite(np.asarray(out)).all()
+        # different rows get independent prior noise (distinct shards, and
+        # distinct inputs anyway) -> outputs differ
+        o = np.asarray(out)
+        assert np.abs(o[0] - o[1]).max() > 1e-6
+
+    def test_matches_single_shard_semantics(self):
+        """On a 1-device data mesh the sharded path equals the plain jit path
+        with the shard-folded key."""
+        import jax as _jax
+        from flowhigh_tpu.parallel import make_mesh
+        model = self._model()
+        mesh = make_mesh(n_data=1, n_model=1)
+        fn = model.make_sharded_generate(mesh, in_sr=16000, timestep=1)
+        rng = np.random.default_rng(1)
+        batch = (rng.standard_normal((2, 8000)) * 0.3).astype(np.float32)
+        lens = np.full((2,), 8000, np.int32)
+        out_sh, n48_sh = fn(batch, lens, seed=5)
+
+        key = _jax.random.fold_in(_jax.random.PRNGKey(5), 0)
+        out_ref, n48_ref, _ = model._generate_jit(
+            model.params, model.melvoco.vocoder_params,
+            jnp.asarray(batch), jnp.asarray(lens, jnp.int32), key,
+            16000, 48000, 1, model.cfm_method, model.ode_method, 1.0, 1.0)
+        np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                                   atol=1e-5)
+
+    def test_adaptive_rejected(self):
+        from flowhigh_tpu.parallel import make_mesh
+        import pytest as _pytest
+        model = self._model()
+        model.ode_method = "adaptive"
+        with _pytest.raises(NotImplementedError):
+            model.make_sharded_generate(make_mesh(n_data=2), in_sr=16000)

@@ -125,9 +125,33 @@ class TestConstructorSurface:
 
     def test_unsupported_kwargs_raise_loudly(self):
         with pytest.raises(NotImplementedError):
-            FLowHigh(dim_in=8, dim=16, depth=2, ff_dropout=0.1)
-        with pytest.raises(NotImplementedError):
             FLowHigh(dim_in=8, dim=16, depth=2, dim_cond_emb=4)
+        with pytest.raises(NotImplementedError):
+            FLowHigh(dim_in=8, dim=16, depth=2, time_hidden_dim=99)
+
+    def test_dropout_train_vs_eval(self):
+        """ff/attn dropout (reference: transformer.py:97-102, attend.py:49):
+        active only with train=True, stochastic across rngs, off at eval."""
+        cfg, net, params, x = _make(ff_dropout=0.5, attn_dropout=0.2)
+        t = jnp.zeros((2,))
+        y_eval1 = net.apply(params, x, times=t, cond=x)
+        y_eval2 = net.apply(params, x, times=t, cond=x)
+        np.testing.assert_array_equal(np.asarray(y_eval1), np.asarray(y_eval2))
+        y_tr1 = net.apply(params, x, times=t, cond=x, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+        y_tr2 = net.apply(params, x, times=t, cond=x, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(2)})
+        assert float(jnp.abs(y_tr1 - y_tr2).max()) > 1e-6
+        assert float(jnp.abs(y_tr1 - y_eval1).max()) > 1e-6
+
+    def test_dropout_training_loss_runs(self):
+        from flowhigh_tpu.cfm import cfm_training_loss
+        cfg, net, params, x = _make(ff_dropout=0.1)
+        loss = cfm_training_loss(
+            net.apply, params, jax.random.PRNGKey(0), x, x,
+            jnp.full((2,), 12), method="independent_cfm_adaptive",
+            sigma=1e-4, out_size=8)
+        assert np.isfinite(float(loss))
 
     def test_ckpt_roundtrip_with_features(self):
         """register tokens + skip combiners export to the reference torch
