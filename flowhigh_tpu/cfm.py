@@ -320,9 +320,11 @@ def cfm_training_loss(
     cond_drop_prob: float = 0.0,
     weighted: bool = False,
     cond_freq_masking: bool = False,
+    train: bool = True,
 ) -> jax.Array:
     """Path construction + segment crop + vector-field regression
-    (reference: cfm_superresolution.py:287-527 + flow.py:276-309)."""
+    (reference: cfm_superresolution.py:287-527 + flow.py:276-309).
+    ``train=False`` disables dropout — use for validation loss."""
     r_t, r_path, r_crop, r_drop, r_fm, r_do = jax.random.split(rng, 6)
     if cond_freq_masking:
         cond_mel = freq_mask_cond(r_fm, cond_mel)
@@ -343,7 +345,7 @@ def cfm_training_loss(
 
     pred = net_apply(params, w, times=t, cond=cond_c,
                      cond_drop_mask=drop_mask, mask=mask,
-                     train=True, rngs={"dropout": r_do})
+                     train=train, rngs={"dropout": r_do} if train else None)
     return cfm_loss(pred, flow, mask=mask, weighted=weighted, cutoff=ps.cutoff)
 
 

@@ -26,14 +26,10 @@ from .sr import _is_probably_audio
 
 def _resample_to(wav: jax.Array, in_sr: int, out_sr: int) -> jax.Array:
     """On-device polyphase resample [B, T] raw audio between integer rates
-    (reference: cfm_superresolution.py:317-323 uses torchaudio resample)."""
-    if in_sr == out_sr:
-        return wav
-    from math import gcd
-
+    (reference: cfm_superresolution.py:317-323 uses torchaudio resample).
+    resample_poly reduces the up/down fraction itself."""
     from .dsp.resample import resample_poly
-    g = gcd(in_sr, out_sr)
-    return resample_poly(wav, out_sr // g, in_sr // g)
+    return resample_poly(wav, out_sr, in_sr)
 
 
 class FLowHigh:
@@ -239,13 +235,19 @@ class ConditionalFlowMatcherWrapper:
                                     in_sr, codec_sr)
                 cond = _encode(cond, mel_cfg)
 
-        # pad to a common frame count — the reference pads at the FRONT of
-        # the time axis (F.pad(..., (0, 0, max - T, 0)), reference: :325-328)
+        # pad to a common frame count. Deliberate deviation: the reference
+        # pads at the FRONT (F.pad(..., (0, 0, max - T, 0)), :325-328) while
+        # its validity mask stays start-anchored (sequence_mask over
+        # cond_lengths, :470-472) — front-padding misaligns its own mask so
+        # the loss covers padding and drops real tail frames. We pad at the
+        # END so lengths/masks/crops all describe the data. The branch is
+        # near-dead in the reference anyway (both encodes come from
+        # equal-length waves in its trainer).
         t = max(x1.shape[1], cond.shape[1])
         if x1.shape[1] < t:
-            x1 = jnp.pad(x1, ((0, 0), (t - x1.shape[1], 0), (0, 0)))
+            x1 = jnp.pad(x1, ((0, 0), (0, t - x1.shape[1]), (0, 0)))
         if cond.shape[1] < t:
-            cond = jnp.pad(cond, ((0, 0), (t - cond.shape[1], 0), (0, 0)))
+            cond = jnp.pad(cond, ((0, 0), (0, t - cond.shape[1]), (0, 0)))
         del mask  # full-length self-attn mask can't survive the segment crop
 
         if cond_lengths is None:

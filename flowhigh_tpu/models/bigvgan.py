@@ -306,10 +306,12 @@ class BigVGAN(nn.Module):
     packed: bool = False     # space-to-depth MRF for narrow-channel stages
     conv_dtype: Optional[jnp.dtype] = None  # packed-conv MXU dtype (e.g. bf16)
     pallas_convs: bool = False  # resblock convs via the Pallas MXU kernel
-    # HBM dtype of the packed-stage feature maps. The vocoder is bandwidth-
-    # bound (PERF.md): bf16 storage halves the traffic of every act/conv pass
-    # while both Pallas kernels still accumulate in f32 internally. Only
-    # applies inside packed stages; stage-boundary convs stay in ``dtype``.
+    # HBM dtype of the MRF feature maps (ALL stages, packed or not): halves
+    # the act/conv pass traffic while the Pallas kernels accumulate in f32
+    # internally. Stage-boundary upsamplers still run in ``dtype`` (inputs
+    # are cast back to f32 before each ConvTranspose). Measured: only +2%
+    # end-to-end (the packed act kernel is VPU-pass-bound, PERF.md) at
+    # 0.128 dB LSD vs f32 — an opt-in for traffic-constrained deployments.
     storage_dtype: Optional[jnp.dtype] = None
 
     def _pack_factor(self, ch: int, t: int) -> int:

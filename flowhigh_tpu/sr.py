@@ -154,6 +154,13 @@ class FlowHighSR:
         """(reference: flowhighsr.py:104-107)."""
         self.cfm_method = cfm_method
 
+    def _default_stds(self):
+        """(std_1, std_2) prior scales per cfm method
+        (reference: flowhighsr.py:89-96: independent_cfm_adaptive uses
+        std_2 = 1.0, the others sigma)."""
+        std_2 = 1.0 if self.cfm_method == "independent_cfm_adaptive" else self.sigma
+        return 1.0, std_2
+
     # -- core jitted pipeline --------------------------------------------------
 
     @functools.partial(jax.jit, static_argnames=(
@@ -311,9 +318,7 @@ class FlowHighSR:
         padded = np.zeros(n_pad, dtype=np.float32)
         padded[:n] = audio
 
-        std_1, std_2 = 1.0, self.sigma
-        if self.cfm_method == "independent_cfm_adaptive":
-            std_2 = 1.0  # (reference: flowhighsr.py:92)
+        std_1, std_2 = self._default_stds()  # (reference: flowhighsr.py:92)
 
         out, n48, stats = self._generate_jit(
             self.params, self.melvoco.vocoder_params,
@@ -344,9 +349,7 @@ class FlowHighSR:
         if self.ode_method == "adaptive":
             raise NotImplementedError(
                 "sharded serving supports fixed-grid solvers (euler/midpoint)")
-        std_1, std_2 = 1.0, self.sigma
-        if self.cfm_method == "independent_cfm_adaptive":
-            std_2 = 1.0
+        std_1, std_2 = self._default_stds()
 
         def local(params, voc_params, batch, lens, key):
             key = jax.random.fold_in(key, jax.lax.axis_index("data"))
@@ -380,9 +383,7 @@ class FlowHighSR:
         JAX dispatch is asynchronous, so callers (StreamingSR) can keep
         several batches in flight: batch k+1's host->device upload overlaps
         batch k's compute instead of serializing on each ``np.asarray``."""
-        std_1, std_2 = 1.0, self.sigma
-        if self.cfm_method == "independent_cfm_adaptive":
-            std_2 = 1.0
+        std_1, std_2 = self._default_stds()
         return self._generate_jit(
             self.params, self.melvoco.vocoder_params,
             jnp.asarray(batch), jnp.asarray(lens), jax.random.PRNGKey(seed),
@@ -416,9 +417,7 @@ class FlowHighSR:
         for i, (a, r) in enumerate(zip(prepped, srs)):
             by_rate.setdefault(int(r), []).append(i)
 
-        std_1, std_2 = 1.0, self.sigma
-        if self.cfm_method == "independent_cfm_adaptive":
-            std_2 = 1.0
+        std_1, std_2 = self._default_stds()
 
         for rate, idxs in by_rate.items():
             in_bucket = BUCKET_SAMPLES * rate // target_sampling_rate

@@ -84,7 +84,7 @@ class Trainer:
 
     # -- the train step ---------------------------------------------------------
 
-    def _loss_fn(self, params, rng, wave, cond_wav, lengths):
+    def _loss_fn(self, params, rng, wave, cond_wav, lengths, train=True):
         cfg = self.config
         mel = cfg.mel
 
@@ -105,7 +105,8 @@ class Trainer:
             out_size=2 * mel.sampling_rate // mel.hop_length,  # 200 fr = 2 s
             cond_drop_prob=cfg.cfm.cond_drop_prob,
             weighted=cfg.train.weighted_loss,
-            cond_freq_masking=cfg.train.cond_freq_masking)
+            cond_freq_masking=cfg.train.cond_freq_masking,
+            train=train)
 
     def _make_step(self):
         def step(state: TrainState, wave, cond_wav, lengths):
@@ -144,7 +145,9 @@ class Trainer:
             rep = replicated_sharding(self.mesh)
 
             def eval_step(params, rng, wave, cond_wav, lengths):
-                return self._loss_fn(params, rng, wave, cond_wav, lengths)
+                # deterministic: no dropout, no cond-drop sampling noise bias
+                return self._loss_fn(params, rng, wave, cond_wav, lengths,
+                                     train=False)
 
             self._eval_fn = jax.jit(eval_step,
                                     in_shardings=(None, None, data_sh, data_sh, data_sh),

@@ -132,13 +132,26 @@ def feed_forward(dim, mult=4):
 
 
 class Transformer(nn.Module):
-    def __init__(self, dim, depth, dim_head, heads, ff_mult=4):
+    """Optionally with register tokens (rotary position -10000, packed left,
+    reference transformer.py:135-139,177-198) and U-Net skip combiners on
+    the second-half layers at ModuleList slot 0, scale 2^-0.5
+    (reference transformer.py:146-154,213-217)."""
+
+    def __init__(self, dim, depth, dim_head, heads, ff_mult=4,
+                 num_register_tokens=0, use_unet_skip_connection=False):
         super().__init__()
         self.dim_head = dim_head
+        self.num_register_tokens = num_register_tokens
+        self.use_unet = use_unet_skip_connection
         self.layers = nn.ModuleList()
-        for _ in range(depth):
+        if num_register_tokens > 0:
+            self.register_tokens = nn.Parameter(
+                torch.randn(num_register_tokens, dim))
+        for ind in range(depth):
+            has_skip = use_unet_skip_connection and (ind + 1) > depth // 2
             self.layers.append(nn.ModuleList([
-                nn.Identity(), nn.Identity(),
+                nn.Linear(dim * 2, dim) if has_skip else nn.Identity(),
+                nn.Identity(),
                 AdaptiveRMSNorm(dim, dim),
                 Attention(dim, dim_head, heads),
                 AdaptiveRMSNorm(dim, dim),
@@ -147,24 +160,48 @@ class Transformer(nn.Module):
         self.final_norm = RMSNorm(dim)
 
     def forward(self, x, t_emb):
-        rot = rotary_freqs(x.shape[1], self.dim_head)
-        for _, _, attn_norm, attn, ff_norm, ff in self.layers:
+        b, n = x.shape[0], x.shape[1]
+        r = self.num_register_tokens
+        if r > 0:
+            x = torch.cat([self.register_tokens.expand(b, -1, -1), x], dim=1)
+            pos = torch.cat([torch.full((r,), -10000.0),
+                             torch.arange(n).float()])
+            inv = 1.0 / (50000.0 ** (torch.arange(0, self.dim_head, 2).float()
+                                     / self.dim_head))
+            f = torch.einsum("i,j->ij", pos, inv)
+            rot = torch.cat([f, f], dim=-1)
+        else:
+            rot = rotary_freqs(n, self.dim_head)
+        skips = []
+        for skip_combiner, _, attn_norm, attn, ff_norm, ff in self.layers:
+            if self.use_unet:
+                if isinstance(skip_combiner, nn.Identity):
+                    skips.append(x)
+                else:
+                    x = skip_combiner(
+                        torch.cat([x, skips.pop() * 2 ** -0.5], dim=-1))
             x = attn(attn_norm(x, t_emb), rot) + x
             x = ff(ff_norm(x, t_emb)) + x
+        if r > 0:
+            x = x[:, r:]
         return self.final_norm(x)
 
 
 class TorchFLowHigh(nn.Module):
     """Reference-layout vector-field net (state dict keys match flow.py)."""
 
-    def __init__(self, dim_in=8, dim=16, depth=2, dim_head=4, heads=2):
+    def __init__(self, dim_in=8, dim=16, depth=2, dim_head=4, heads=2,
+                 num_register_tokens=0, use_unet_skip_connection=False):
         super().__init__()
         self.sinu_pos_emb = nn.Sequential(
             LearnedSinusoidalPosEmb(dim), nn.Linear(dim, dim), nn.SiLU())
         self.to_embed = nn.Linear(dim_in * 2, dim)
         self.null_cond = nn.Parameter(torch.zeros(dim_in), requires_grad=False)
         self.conv_embed = ConvPositionEmbed(dim)
-        self.transformer = Transformer(dim, depth, dim_head, heads)
+        self.transformer = Transformer(
+            dim, depth, dim_head, heads,
+            num_register_tokens=num_register_tokens,
+            use_unet_skip_connection=use_unet_skip_connection)
         self.to_pred = nn.Linear(dim, dim_in, bias=False)
 
     def forward(self, x, times, cond, drop_cond=False):
