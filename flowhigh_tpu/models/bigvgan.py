@@ -189,12 +189,18 @@ class Activation1d(nn.Module):
     packed_p: int = 1    # >1: input/output are space-to-depth packed [B,T/p,p*C]
 
     @nn.compact
-    def __call__(self, x):  # [B, T, C] (or [B, T/p, p*C] when packed_p > 1)
+    def __call__(self, x, return_params: bool = False):
+        # x: [B, T, C] (or [B, T/p, p*C] when packed_p > 1).
+        # ``return_params=True``: create/expose (alpha, beta) without
+        # computing — the fused act->conv kernel consumes them directly
+        # while the checkpoint layout keeps them under this module's name.
         init = nn.initializers.zeros if self.logscale else nn.initializers.ones
         alpha = self.param("alpha", init, (self.channels,))
         beta = None
         if self.activation == "snakebeta":
             beta = self.param("beta", init, (self.channels,))
+        if return_params:
+            return alpha, beta
         if self.packed_p > 1:
             from ..ops.packed import packed_snake_activation1d
             return packed_snake_activation1d(x, alpha, beta, self.logscale,
@@ -224,6 +230,25 @@ class AMPBlock1(nn.Module):
     packed_p: int = 1          # >1: run on space-to-depth packed features
     conv_dtype: Optional[jnp.dtype] = None  # packed-conv contraction dtype
     pallas_convs: bool = False  # Pallas MXU conv kernel (serving fast path)
+    fuse_act_conv: bool = False  # one kernel per [act -> conv] pair
+
+    def _act_then_conv(self, x, act_name, w, b, pad, dil, residual=None):
+        """act -> conv, fused into one Pallas kernel when eligible
+        (ops/packed.py:pallas_packed_act_conv1d); falls back to the
+        separate act + conv pair otherwise."""
+        act = Activation1d(self.channels, self.activation, self.logscale,
+                           self.fused, self.packed_p, name=act_name)
+        if self.fuse_act_conv and self.pallas_convs and self.packed_p > 1:
+            from ..ops.packed import act_conv_fusable, pallas_packed_act_conv1d
+            k = w.shape[0]
+            if act_conv_fusable(k, pad, dil, self.packed_p, self.channels):
+                alpha, beta = act(x, return_params=True)
+                return pallas_packed_act_conv1d(
+                    x, alpha, beta, self.logscale, w.astype(self.dtype), b,
+                    pad=pad, dilation=dil, p=self.packed_p,
+                    residual=residual,
+                    dot_dtype=self.conv_dtype or jnp.float32)
+        return self._conv(act(x), w, b, pad, dil, residual)
 
     def _conv(self, xt, w, b, pad, dil, residual=None):
         if self.pallas_convs:
@@ -248,18 +273,15 @@ class AMPBlock1(nn.Module):
     def __call__(self, x):
         k = self.kernel_size
         for j, d in enumerate(self.dilations):
-            xt = Activation1d(self.channels, self.activation, self.logscale,
-                              self.fused, self.packed_p, name=f"act1_{j}")(x)
             w = self.param(f"convs1_{j}_kernel", nn.initializers.lecun_normal(),
                            (k, self.channels, self.channels))
             b = self.param(f"convs1_{j}_bias", nn.initializers.zeros, (self.channels,))
-            xt = self._conv(xt, w, b, (k * d - d) // 2, d)
-            xt = Activation1d(self.channels, self.activation, self.logscale,
-                              self.fused, self.packed_p, name=f"act2_{j}")(xt)
+            xt = self._act_then_conv(x, f"act1_{j}", w, b, (k * d - d) // 2, d)
             w2 = self.param(f"convs2_{j}_kernel", nn.initializers.lecun_normal(),
                             (k, self.channels, self.channels))
             b2 = self.param(f"convs2_{j}_bias", nn.initializers.zeros, (self.channels,))
-            x = self._conv(xt, w2, b2, (k - 1) // 2, 1, residual=x)
+            x = self._act_then_conv(xt, f"act2_{j}", w2, b2, (k - 1) // 2, 1,
+                                    residual=x)
         return x
 
 
@@ -306,6 +328,7 @@ class BigVGAN(nn.Module):
     packed: bool = False     # space-to-depth MRF for narrow-channel stages
     conv_dtype: Optional[jnp.dtype] = None  # packed-conv MXU dtype (e.g. bf16)
     pallas_convs: bool = False  # resblock convs via the Pallas MXU kernel
+    fuse_act_conv: bool = False  # fuse [act -> conv] pairs into one kernel
     # HBM dtype of the MRF feature maps (ALL stages, packed or not): halves
     # the act/conv pass traffic while the Pallas kernels accumulate in f32
     # internally. Stage-boundary upsamplers still run in ``dtype`` (inputs
@@ -357,7 +380,8 @@ class BigVGAN(nn.Module):
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
                 extra = ({"mxu_convs": self.mxu_convs,
-                          "pallas_convs": self.pallas_convs}
+                          "pallas_convs": self.pallas_convs,
+                          "fuse_act_conv": self.fuse_act_conv}
                          if block_cls is AMPBlock1 else {})
                 y = block_cls(
                     ch_out, rk, rd, cfg.activation, cfg.snake_logscale,

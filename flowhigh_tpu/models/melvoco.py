@@ -44,6 +44,7 @@ class MelVoco:
                  vocoder_params=None, dtype=jnp.float32, fused_act: bool = False,
                  packed: bool = False, conv_dtype=None,
                  pallas_convs: bool = False, storage_dtype=None,
+                 fuse_act_conv: bool = False,
                  *,
                  # reference constructor surface (melvoco.py:17-31)
                  n_mels=None, sampling_rate=None, f_max=None, f_min=None,
@@ -78,7 +79,8 @@ class MelVoco:
         self.vocoder = BigVGAN(voc_cfg, dtype=dtype, fused_act=fused_act,
                                packed=packed, conv_dtype=conv_dtype,
                                pallas_convs=pallas_convs,
-                               storage_dtype=storage_dtype)
+                               storage_dtype=storage_dtype,
+                               fuse_act_conv=fuse_act_conv)
         self.vocoder_params = vocoder_params
 
     # reference attribute surface (melvoco.py:17-54)

@@ -438,3 +438,275 @@ def packed_act_reference(xp: jax.Array, alpha: jax.Array,
     """Unfused XLA composition on the packed layout (unpack -> act -> pack);
     ground truth for the kernel and the differentiable fallback."""
     return pack_time(_reference_act(unpack_time(xp, p), alpha, beta, logscale), p)
+
+
+# --- fused act -> conv (one kernel per [act, conv] pair) -----------------------
+#
+# AMPBlock1 is a chain of [act -> conv] pairs (reference: bigvgan/models.py:
+# 63-71). Running them as separate kernels round-trips the act output through
+# HBM; with the polynomial-cos snake the act is bandwidth/shift-bound, so
+# fusing the act into the conv kernel's prologue (act computed in VMEM over
+# the conv's input window, then the MXU dots) removes one full feature-map
+# write+read per pair. Eligible when the packed conv weights for ALL output
+# lanes fit VMEM alongside the act working set (single cout block) — true for
+# every AMPBlock conv except the widest-dilation cases at small p, which fall
+# back to the unfused pair.
+
+_PATCH_OUT = 48  # unpacked fused outputs recomputed exactly at each edge
+
+
+def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
+                          rel_offsets, hl8: int, hr8: int, pad_lo: int,
+                          pad_hi: int, dot_dtype, has_residual: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, we, wo = _act_filters()
+    pc = p * c
+    pcout = p * cout
+    act_lo = -pad_lo
+    n_a = s_t + pad_lo + pad_hi
+    n_s = n_a + 4
+
+    def make_shifter(arr, base: int):
+        cache = {}
+
+        def rolled(rm: int):
+            if rm not in cache:
+                cache[rm] = pltpu.roll(arr, pc - c * rm, 1)
+            return cache[rm]
+
+        def ush(delta: int, row0: int, n: int):
+            q, rm = divmod(delta, p)
+            i0 = row0 + q - base
+            if rm == 0:
+                return arr[i0 : i0 + n, :]
+            r = rolled(rm)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (n, pc), 1)
+            return jnp.where(lane < pc - c * rm, r[i0 : i0 + n, :],
+                             r[i0 + 1 : i0 + 1 + n, :])
+
+        return ush
+
+    def kernel(cur_ref, prev_ref, nxt_ref, ab_ref, w_ref, b_ref, *rest):
+        res_ref, out_ref = rest if has_residual else (None, rest[0])
+        ext = jnp.concatenate(
+            [prev_ref[0].astype(jnp.float32),
+             cur_ref[0].astype(jnp.float32),
+             nxt_ref[0].astype(jnp.float32)], axis=0)  # rows -hl8 .. s_t+hr8
+
+        alpha = ab_ref[0, :]
+        beta = ab_ref[1, :]
+
+        # anti-aliased snake over act rows [act_lo, act_lo + n_a)
+        ush_x = make_shifter(ext, -hl8)
+        se = jnp.zeros((n_s, pc), jnp.float32)
+        so = jnp.zeros((n_s, pc), jnp.float32)
+        for d in range(-3, 4):
+            sh = ush_x(d, act_lo - 2, n_s)
+            if -3 <= d <= 2:
+                se = se + we[d + 3] * sh
+            if -2 <= d <= 3:
+                so = so + wo[d + 2] * sh
+        se = _snake_packed(se, alpha, beta)
+        so = _snake_packed(so, alpha, beta)
+        ush_se = make_shifter(se, act_lo - 2)
+        ush_so = make_shifter(so, act_lo - 2)
+        a = jnp.zeros((n_a, pc), jnp.float32)
+        for m in range(-2, 4):
+            a = a + h[2 * m + 5] * ush_se(m, act_lo, n_a)
+        for m in range(-3, 3):
+            a = a + h[2 * m + 6] * ush_so(m, act_lo, n_a)
+
+        # conv zero-padding semantics: act rows outside [0, s_true) are zero
+        i = pl.program_id(1)
+        grow = i * s_t + act_lo + jax.lax.broadcasted_iota(
+            jnp.int32, (n_a, pc), 0)
+        a = jnp.where((grow >= 0) & (grow < s_true), a, 0.0)
+        a = a.astype(dot_dtype)
+
+        acc = jnp.zeros((s_t, pcout), jnp.float32)
+        for qi, off in enumerate(rel_offsets):
+            acc = acc + jax.lax.dot_general(
+                a[off + pad_lo : off + pad_lo + s_t, :], w_ref[qi],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc = acc + b_ref[0, :].astype(jnp.float32)
+        if res_ref is not None:
+            acc = acc + res_ref[0].astype(jnp.float32)
+        out_ref[0, :, :] = acc.astype(out_ref.dtype)
+
+    return kernel
+
+
+def act_conv_fusable(k: int, pad: int, dilation: int, p: int, c: int,
+                     budget_bytes: int = 8 * 2**20) -> bool:
+    """True when the fused kernel's full-cout weight block fits VMEM."""
+    if p < 2:
+        return False  # unpacked stages use the separate fused_act kernel
+    rel_offsets, _, _, _ = _nonzero_taps(k, pad, dilation, p)
+    return len(rel_offsets) * (p * c) * (p * c) * 4 <= budget_bytes
+
+
+def pallas_packed_act_conv1d(xp: jax.Array, alpha: jax.Array,
+                             beta: Optional[jax.Array], logscale: bool,
+                             w: jax.Array, b: Optional[jax.Array], *,
+                             pad: int, dilation: int, p: int,
+                             residual: Optional[jax.Array] = None,
+                             dot_dtype=jnp.float32,
+                             interpret: bool = False) -> jax.Array:
+    """One kernel computing ``conv(act(xp))`` (+ optional fused residual):
+    equals pallas_packed_conv1d(packed_snake_activation1d(xp, ...), w, b,
+    ...) with the intermediate kept in VMEM. The first/last _PATCH_OUT
+    unpacked outputs are recomputed exactly with the unfused composition
+    (the act's sequence-edge replicate padding can't be reproduced from
+    clamped packed-row halos)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.default_backend() != "tpu"
+    bsz, s, pcin = xp.shape
+    k, cin, cout = w.shape
+    assert pcin == p * cin and cin == cout, (xp.shape, w.shape, p)
+    pcout = p * cout
+
+    rel_offsets, nz_idx, pad_lo, pad_hi = _nonzero_taps(k, pad, dilation, p)
+    ctx_u = _PATCH_OUT + (k - 1) * dilation // 2 + 40
+    ctx_rows = min(-(-ctx_u // p) + 2, s)
+    if s * p < 2 * ctx_u + 2 * _PATCH_OUT:  # too short to patch: go unfused
+        a_full = packed_snake_activation1d(xp, alpha, beta, logscale, p,
+                                           interpret)
+        return pallas_packed_conv1d(a_full, w, b, pad=pad, dilation=dilation,
+                                    p=p, residual=residual,
+                                    dot_dtype=dot_dtype, interpret=interpret)
+
+    s_t = _pick_rows(s, cap=256)
+    if s_t == 0:  # pad rows; the kernel masks by the TRUE length
+        s_pad = -(-max(64, s) // 8) * 8
+        xq = jnp.pad(xp, ((0, 0), (0, s_pad - s), (0, 0)))
+        rq = (jnp.pad(residual, ((0, 0), (0, s_pad - s), (0, 0)))
+              if residual is not None else None)
+        return _act_conv_padded(xq, s, alpha, beta, logscale, w, b, pad,
+                                dilation, p, rq, dot_dtype,
+                                interpret)[:, :s, :]
+    return _act_conv_core(xp, s, s_t, alpha, beta, logscale, w, b, pad,
+                          dilation, p, residual, dot_dtype, interpret)
+
+
+def _act_conv_padded(xq, s_true, alpha, beta, logscale, w, b, pad, dilation,
+                     p, residual, dot_dtype, interpret):
+    s_pad = xq.shape[1]
+    s_t = _pick_rows(s_pad, cap=256)
+    return _act_conv_core(xq, s_true, s_t, alpha, beta, logscale, w, b, pad,
+                          dilation, p, residual, dot_dtype, interpret)
+
+
+def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
+                   dilation, p, residual, dot_dtype, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, s, pcin = xp.shape
+    k, cin, cout = w.shape
+    pc, pcout = p * cin, p * cout
+    n_tiles = s // s_t
+    rel_offsets, nz_idx, pad_lo, pad_hi = _nonzero_taps(k, pad, dilation, p)
+    hl8 = _round8(pad_lo + 4)
+    hr8 = _round8(pad_hi + 4)
+
+    wp, _, _ = pack_conv_kernel(w, pad, dilation, p)
+    wnz = wp[jnp.asarray(nz_idx)].astype(dot_dtype)
+    bias = (jnp.tile(b, p) if b is not None
+            else jnp.zeros((pcout,), jnp.float32)).reshape(1, pcout)
+    a_ = jnp.exp(alpha) if logscale else alpha
+    bb = (jnp.exp(beta) if logscale else beta) if beta is not None else a_
+    ab = jnp.stack([jnp.tile(a_, p), jnp.tile(bb, p)]).astype(jnp.float32)
+
+    # halo strips at packed-row granularity (clamped; the kernel masks
+    # out-of-sequence rows itself for the conv's zero padding)
+    ip = np.clip(np.arange(n_tiles)[:, None] * s_t - hl8
+                 + np.arange(hl8)[None, :], 0, s - 1).reshape(-1)
+    inx = np.clip((np.arange(n_tiles)[:, None] + 1) * s_t
+                  + np.arange(hr8)[None, :], 0, s - 1).reshape(-1)
+    prev = xp[:, ip, :].reshape(bsz, n_tiles * hl8, pcin)
+    nxt = xp[:, inx, :].reshape(bsz, n_tiles * hr8, pcin)
+
+    kernel = _make_act_conv_kernel(
+        s_t, p, cin, cout, s_true, rel_offsets, hl8, hr8, pad_lo, pad_hi,
+        dot_dtype, residual is not None)
+    in_specs = [
+        pl.BlockSpec((1, s_t, pcin), lambda b_, i: (b_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hl8, pcin), lambda b_, i: (b_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hr8, pcin), lambda b_, i: (b_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, pcin), lambda b_, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((len(rel_offsets), pcin, pcout),
+                     lambda b_, i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pcout), lambda b_, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xp, prev, nxt, ab, wnz, bias]
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((1, s_t, pcout),
+                                     lambda b_, i: (b_, i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual)
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, s, pcout), xp.dtype),
+        grid=(bsz, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, s_t, pcout), lambda b_, i: (b_, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+    return _patch_edges_act_conv(y, xp, s_true, alpha, beta, logscale, w, b,
+                                 pad, dilation, p, residual)
+
+
+def _patch_edges_act_conv(y, xp, s_true, alpha, beta, logscale, w, b, pad,
+                          dilation, p, residual):
+    """Recompute the first/last _PATCH_OUT unpacked fused outputs exactly
+    with the unfused composition on small unpacked slices."""
+    from ..models.bigvgan import conv1d
+
+    bsz, s, pc = xp.shape
+    c = pc // p
+    ctx_u = _PATCH_OUT + (k_span := (w.shape[0] - 1) * dilation // 2) + 40
+    ctx = min(-(-ctx_u // p) + 2, s_true)
+
+    def exact(x_slice, res_slice, take_head: bool):
+        a_u = _reference_act(x_slice, alpha, beta, logscale)
+        y_u = conv1d(a_u, w, b, padding=pad, dilation=dilation)
+        if res_slice is not None:
+            y_u = y_u + res_slice
+        return (y_u[:, :_PATCH_OUT, :] if take_head
+                else y_u[:, -_PATCH_OUT:, :])
+
+    left_x = unpack_time(xp[:, :ctx, :], p)
+    right_x = unpack_time(xp[:, s_true - ctx : s_true, :], p)
+    left_r = (unpack_time(residual[:, :ctx, :], p)[:, :, : w.shape[2]]
+              if residual is not None else None)
+    right_r = (unpack_time(residual[:, s_true - ctx : s_true, :],
+                           p)[:, :, : w.shape[2]]
+               if residual is not None else None)
+    left_y = exact(left_x, left_r, True)
+    right_y = exact(right_x, right_r, False)
+
+    rows = -(-_PATCH_OUT // p)
+    head = unpack_time(y[:, :rows, :], p)
+    head = jax.lax.dynamic_update_slice_in_dim(
+        head, left_y.astype(y.dtype), 0, axis=1)
+    y = jax.lax.dynamic_update_slice_in_dim(y, pack_time(head, p), 0, axis=1)
+
+    # the true tail ends at unpacked sample s_true*p; rows holding the last
+    # _PATCH_OUT samples
+    end_row = s_true  # exclusive, packed rows
+    tail = unpack_time(y[:, end_row - rows : end_row, :], p)
+    tail = jax.lax.dynamic_update_slice_in_dim(
+        tail, right_y.astype(y.dtype), rows * p - _PATCH_OUT, axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(
+        y, pack_time(tail, p), end_row - rows, axis=1)

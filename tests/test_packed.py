@@ -186,3 +186,70 @@ def test_pallas_bigvgan_bf16_storage_close_to_f32(rng):
     denom = (ref * ref).sum() ** 0.5 * (got * got).sum() ** 0.5
     corr = float((ref * got).sum() / (denom + 1e-12))
     assert corr > 0.999, corr
+
+
+class TestFusedActConv:
+    """pallas_packed_act_conv1d == packed act followed by packed conv."""
+
+    @pytest.mark.parametrize("p,c,k,d", [
+        (8, 48, 3, 1), (8, 48, 11, 5), (4, 96, 7, 3), (2, 192, 3, 1),
+    ])
+    def test_matches_unfused(self, rng, p, c, k, d):
+        from flowhigh_tpu.ops.packed import (pallas_packed_act_conv1d,
+                                             packed_snake_activation1d)
+        s = 96
+        xp = jnp.asarray(rng.standard_normal((2, s, p * c)).astype(np.float32) * 0.4)
+        alpha = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.2)
+        beta = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.2)
+        w = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+        pad = (k * d - d) // 2
+        res = jnp.asarray(rng.standard_normal((2, s, p * c)).astype(np.float32) * 0.2)
+
+        a = packed_snake_activation1d(xp, alpha, beta, True, p, interpret=True)
+        ref = packed_conv1d(a, w, b, pad=pad, dilation=d, p=p) + res
+        got = pallas_packed_act_conv1d(xp, alpha, beta, True, w, b, pad=pad,
+                                       dilation=d, p=p, residual=res,
+                                       interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_awkward_rows_and_no_residual(self, rng):
+        from flowhigh_tpu.ops.packed import (pallas_packed_act_conv1d,
+                                             packed_snake_activation1d)
+        p, c = 8, 48
+        xp = jnp.asarray(rng.standard_normal((1, 37, p * c)).astype(np.float32) * 0.4)
+        alpha = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.2)
+        beta = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.2)
+        w = jnp.asarray(rng.standard_normal((7, c, c)).astype(np.float32) * 0.05)
+        a = packed_snake_activation1d(xp, alpha, beta, True, p, interpret=True)
+        ref = packed_conv1d(a, w, None, pad=3, dilation=1, p=p)
+        got = pallas_packed_act_conv1d(xp, alpha, beta, True, w, None, pad=3,
+                                       dilation=1, p=p, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_fusable_predicate(self):
+        from flowhigh_tpu.ops.packed import act_conv_fusable
+        assert act_conv_fusable(11, 25, 5, 8, 48)     # stage 5: always
+        assert act_conv_fusable(3, 1, 1, 2, 192)      # small kernels fit
+        assert not act_conv_fusable(11, 25, 5, 2, 192)  # 22 taps x 384x384
+        assert not act_conv_fusable(3, 1, 1, 1, 384)  # unpacked: other kernel
+
+    def test_full_generator_with_fusion(self, rng):
+        import jax
+        from flowhigh_tpu.config import VocoderConfig
+        from flowhigh_tpu.models.bigvgan import BigVGAN
+        cfg = VocoderConfig(
+            num_mels=8, upsample_initial_channel=64,
+            upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+            resblock_kernel_sizes=(3, 7),
+            resblock_dilation_sizes=((1, 3), (1, 3)))
+        mel = jnp.asarray(rng.standard_normal((1, 40, 8)).astype(np.float32) * 0.3)
+        plain = BigVGAN(cfg)
+        params = plain.init(jax.random.PRNGKey(0), mel)
+        ref = plain.apply(params, mel)
+        got = BigVGAN(cfg, packed=True, pallas_convs=True,
+                      fuse_act_conv=True).apply(params, mel)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
