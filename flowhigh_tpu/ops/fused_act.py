@@ -53,17 +53,20 @@ def _filters():
 # cos(2*pi*r) on r in [-0.5, 0.5] as an even minimax-style polynomial.
 # Mosaic's builtin cos lowers to ~100 VPU ops/element (measured: the snake
 # transcendental was 57% of the packed act kernel's time); period reduction
-# + 7-term Horner is ~12 ops at the same f32 accuracy (max err 5.7e-7 in
-# f32, the same order as the builtin's f32 rounding).
+# + 7-term Horner is ~12 ops. Accuracy: 5.7e-7 for the polynomial itself;
+# ~3.6e-6 max abs error end-to-end in f32 Horner over |x| <= 50 (the f32
+# range-reduction subtraction dominates) — well inside the 2e-5 kernel
+# parity tolerances.
 _COS_COEFFS = (9.999999922856e-01, -1.973920555234e+01, 6.493917213579e+01,
                -8.545116383103e+01, 6.017621268245e+01, -2.600045568122e+01,
                6.575502264016e+00)
 
 
 def fast_cos(x):
-    """cos(x) via f32 period reduction + even polynomial. Accurate to ~6e-7
-    for |x| up to ~1e4; beyond that the f32 multiply by 1/(2*pi) loses phase
-    bits exactly like any single-precision range reduction."""
+    """cos(x) via f32 period reduction + even polynomial; max abs error
+    ~3.6e-6 in f32 for |x| up to ~50, growing with |x| as the f32 multiply
+    by 1/(2*pi) loses phase bits — exactly like any single-precision range
+    reduction."""
     t = x * float(1.0 / (2.0 * np.pi))
     r = t - jnp.round(t)
     r2 = r * r

@@ -263,71 +263,77 @@ def _snake_packed(u, alpha, beta):
     return u + half_inv_b - half_inv_b * fast_cos(u * (2.0 * alpha))
 
 
-def _make_packed_kernel(s_t: int, p: int, c: int):
-    import jax.experimental.pallas as pl  # noqa: F401  (kernel context)
+def _lane_shifter(arr, base: int, p: int, c: int):
+    """Unpacked-sample shifts over ``arr`` (packed rows from ``base``):
+    ush(delta, row0, n)[s, m*c:] = unpacked[p*(row0+s) + m + delta].
+
+    Mosaic can't lane-concat slices with mismatched sublane offsets, so
+    each distinct lane shift is one cached full-array circular roll; the
+    wrapped lanes are then taken from the next row via a lane-index
+    select. Shared by the standalone act kernel and the fused act->conv
+    kernel — keep ALL shift-logic changes here.
+    """
     from jax.experimental.pallas import tpu as pltpu
 
+    pc = p * c
+    cache = {}
+
+    def rolled(rm: int):
+        if rm not in cache:
+            cache[rm] = pltpu.roll(arr, pc - c * rm, 1)
+        return cache[rm]
+
+    def ush(delta: int, row0: int, n: int):
+        q, rm = divmod(delta, p)
+        i0 = row0 + q - base
+        if rm == 0:
+            return arr[i0 : i0 + n, :]
+        r = rolled(rm)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, pc), 1)
+        return jnp.where(lane < pc - c * rm, r[i0 : i0 + n, :],
+                         r[i0 + 1 : i0 + 1 + n, :])
+
+    return ush
+
+
+def _act_rows(ext, ext_base: int, alpha, beta, p: int, c: int,
+              row_lo: int, n_rows: int):
+    """Anti-aliased snake over packed act rows [row_lo, row_lo + n_rows)
+    given the f32 input window ``ext`` whose row 0 is packed row
+    ``ext_base``. The in-VMEM act body shared by both Pallas kernels:
+    up-FIR (se/so phases) -> snake -> down-FIR."""
     h, we, wo = _act_filters()
     pc = p * c
+    n_s = n_rows + 4  # se/so need rows [row_lo-2, row_lo+n_rows+2)
+    ush_x = _lane_shifter(ext, ext_base, p, c)
+    se = jnp.zeros((n_s, pc), jnp.float32)
+    so = jnp.zeros((n_s, pc), jnp.float32)
+    for d in range(-3, 4):  # build each shift once, MAC, let it die
+        sh = ush_x(d, row_lo - 2, n_s)
+        if -3 <= d <= 2:
+            se = se + we[d + 3] * sh
+        if -2 <= d <= 3:
+            so = so + wo[d + 2] * sh
+    se = _snake_packed(se, alpha, beta)
+    so = _snake_packed(so, alpha, beta)
 
-    def make_shifter(arr, base: int):
-        """Unpacked-sample shifts over ``arr`` (packed rows from ``base``):
-        ush(delta, row0, n)[s, m*c:] = unpacked[p*(row0+s) + m + delta].
+    ush_se = _lane_shifter(se, row_lo - 2, p, c)
+    ush_so = _lane_shifter(so, row_lo - 2, p, c)
+    y = jnp.zeros((n_rows, pc), jnp.float32)
+    for m in range(-2, 4):
+        y = y + h[2 * m + 5] * ush_se(m, row_lo, n_rows)
+    for m in range(-3, 3):
+        y = y + h[2 * m + 6] * ush_so(m, row_lo, n_rows)
+    return y
 
-        Mosaic can't lane-concat slices with mismatched sublane offsets, so
-        each distinct lane shift is one cached full-array circular roll; the
-        wrapped lanes are then taken from the next row via a lane-index
-        select.
-        """
-        cache = {}
 
-        def rolled(rm: int):
-            if rm not in cache:
-                cache[rm] = pltpu.roll(arr, pc - c * rm, 1)
-            return cache[rm]
-
-        def ush(delta: int, row0: int, n: int):
-            q, rm = divmod(delta, p)
-            i0 = row0 + q - base
-            if rm == 0:
-                return arr[i0 : i0 + n, :]
-            r = rolled(rm)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (n, pc), 1)
-            return jnp.where(lane < pc - c * rm, r[i0 : i0 + n, :],
-                             r[i0 + 1 : i0 + 1 + n, :])
-
-        return ush
-
+def _make_packed_kernel(s_t: int, p: int, c: int):
     def kernel(cur_ref, prev_ref, nxt_ref, ab_ref, out_ref):
         ext = jnp.concatenate(
             [prev_ref[0].astype(jnp.float32),
              cur_ref[0].astype(jnp.float32),
              nxt_ref[0].astype(jnp.float32)], axis=0)  # rows -H .. s_t+H
-
-        alpha = ab_ref[0, :]
-        beta = ab_ref[1, :]
-
-        # se/so over packed rows -2 .. s_t+1 (enough for down shifts at p>=2)
-        n_s = s_t + 4
-        ush_x = make_shifter(ext, -_H)
-        se = jnp.zeros((n_s, pc), jnp.float32)
-        so = jnp.zeros((n_s, pc), jnp.float32)
-        for d in range(-3, 4):  # build each shift once, MAC, let it die
-            sh = ush_x(d, -2, n_s)
-            if -3 <= d <= 2:
-                se = se + we[d + 3] * sh
-            if -2 <= d <= 3:
-                so = so + wo[d + 2] * sh
-        se = _snake_packed(se, alpha, beta)
-        so = _snake_packed(so, alpha, beta)
-
-        ush_se = make_shifter(se, -2)
-        ush_so = make_shifter(so, -2)
-        y = jnp.zeros((s_t, pc), jnp.float32)
-        for m in range(-2, 4):
-            y = y + h[2 * m + 5] * ush_se(m, 0, s_t)
-        for m in range(-3, 3):
-            y = y + h[2 * m + 6] * ush_so(m, 0, s_t)
+        y = _act_rows(ext, -_H, ab_ref[0, :], ab_ref[1, :], p, c, 0, s_t)
         out_ref[0, :, :] = y.astype(out_ref.dtype)
 
     return kernel
@@ -456,37 +462,14 @@ _PATCH_OUT = 48  # unpacked fused outputs recomputed exactly at each edge
 
 
 def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
-                          rel_offsets, hl8: int, hr8: int, pad_lo: int,
+                          rel_offsets, hl8: int, pad_lo: int,
                           pad_hi: int, dot_dtype, has_residual: bool):
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    h, we, wo = _act_filters()
     pc = p * c
     pcout = p * cout
     act_lo = -pad_lo
     n_a = s_t + pad_lo + pad_hi
-    n_s = n_a + 4
-
-    def make_shifter(arr, base: int):
-        cache = {}
-
-        def rolled(rm: int):
-            if rm not in cache:
-                cache[rm] = pltpu.roll(arr, pc - c * rm, 1)
-            return cache[rm]
-
-        def ush(delta: int, row0: int, n: int):
-            q, rm = divmod(delta, p)
-            i0 = row0 + q - base
-            if rm == 0:
-                return arr[i0 : i0 + n, :]
-            r = rolled(rm)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (n, pc), 1)
-            return jnp.where(lane < pc - c * rm, r[i0 : i0 + n, :],
-                             r[i0 + 1 : i0 + 1 + n, :])
-
-        return ush
 
     def kernel(cur_ref, prev_ref, nxt_ref, ab_ref, w_ref, b_ref, *rest):
         res_ref, out_ref = rest if has_residual else (None, rest[0])
@@ -495,28 +478,10 @@ def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
              cur_ref[0].astype(jnp.float32),
              nxt_ref[0].astype(jnp.float32)], axis=0)  # rows -hl8 .. s_t+hr8
 
-        alpha = ab_ref[0, :]
-        beta = ab_ref[1, :]
-
-        # anti-aliased snake over act rows [act_lo, act_lo + n_a)
-        ush_x = make_shifter(ext, -hl8)
-        se = jnp.zeros((n_s, pc), jnp.float32)
-        so = jnp.zeros((n_s, pc), jnp.float32)
-        for d in range(-3, 4):
-            sh = ush_x(d, act_lo - 2, n_s)
-            if -3 <= d <= 2:
-                se = se + we[d + 3] * sh
-            if -2 <= d <= 3:
-                so = so + wo[d + 2] * sh
-        se = _snake_packed(se, alpha, beta)
-        so = _snake_packed(so, alpha, beta)
-        ush_se = make_shifter(se, act_lo - 2)
-        ush_so = make_shifter(so, act_lo - 2)
-        a = jnp.zeros((n_a, pc), jnp.float32)
-        for m in range(-2, 4):
-            a = a + h[2 * m + 5] * ush_se(m, act_lo, n_a)
-        for m in range(-3, 3):
-            a = a + h[2 * m + 6] * ush_so(m, act_lo, n_a)
+        # anti-aliased snake over act rows [act_lo, act_lo + n_a) — shared
+        # body with the standalone act kernel
+        a = _act_rows(ext, -hl8, ab_ref[0, :], ab_ref[1, :], p, c,
+                      act_lo, n_a)
 
         # conv zero-padding semantics: act rows outside [0, s_true) are zero
         i = pl.program_id(1)
@@ -540,8 +505,13 @@ def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
 
 
 def act_conv_fusable(k: int, pad: int, dilation: int, p: int, c: int,
-                     budget_bytes: int = 8 * 2**20) -> bool:
-    """True when the fused kernel's full-cout weight block fits VMEM."""
+                     budget_bytes: int = 6 * 2**20) -> bool:
+    """True when the fused kernel's full-cout weight block fits VMEM.
+
+    The budget is the WEIGHT bytes only, set to 6 MiB to leave headroom
+    for the kernel's VMEM-resident act working set (ext window + up to six
+    cached lane-rolls of ext/se/so + the act output + out/residual blocks,
+    a few MiB at s_t=256) inside the ~16 MiB core VMEM."""
     if p < 2:
         return False  # unpacked stages use the separate fused_act kernel
     rel_offsets, _, _, _ = _nonzero_taps(k, pad, dilation, p)
@@ -561,18 +531,12 @@ def pallas_packed_act_conv1d(xp: jax.Array, alpha: jax.Array,
     unpacked outputs are recomputed exactly with the unfused composition
     (the act's sequence-edge replicate padding can't be reproduced from
     clamped packed-row halos)."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     interpret = interpret or jax.default_backend() != "tpu"
     bsz, s, pcin = xp.shape
     k, cin, cout = w.shape
     assert pcin == p * cin and cin == cout, (xp.shape, w.shape, p)
-    pcout = p * cout
 
-    rel_offsets, nz_idx, pad_lo, pad_hi = _nonzero_taps(k, pad, dilation, p)
     ctx_u = _PATCH_OUT + (k - 1) * dilation // 2 + 40
-    ctx_rows = min(-(-ctx_u // p) + 2, s)
     if s * p < 2 * ctx_u + 2 * _PATCH_OUT:  # too short to patch: go unfused
         a_full = packed_snake_activation1d(xp, alpha, beta, logscale, p,
                                            interpret)
@@ -632,7 +596,7 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
     nxt = xp[:, inx, :].reshape(bsz, n_tiles * hr8, pcin)
 
     kernel = _make_act_conv_kernel(
-        s_t, p, cin, cout, s_true, rel_offsets, hl8, hr8, pad_lo, pad_hi,
+        s_t, p, cin, cout, s_true, rel_offsets, hl8, pad_lo, pad_hi,
         dot_dtype, residual is not None)
     in_specs = [
         pl.BlockSpec((1, s_t, pcin), lambda b_, i: (b_, i, 0),
@@ -673,9 +637,7 @@ def _patch_edges_act_conv(y, xp, s_true, alpha, beta, logscale, w, b, pad,
     with the unfused composition on small unpacked slices."""
     from ..models.bigvgan import conv1d
 
-    bsz, s, pc = xp.shape
-    c = pc // p
-    ctx_u = _PATCH_OUT + (k_span := (w.shape[0] - 1) * dilation // 2) + 40
+    ctx_u = _PATCH_OUT + (w.shape[0] - 1) * dilation // 2 + 40
     ctx = min(-(-ctx_u // p) + 2, s_true)
 
     def exact(x_slice, res_slice, take_head: bool):
