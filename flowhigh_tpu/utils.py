@@ -148,3 +148,29 @@ def model_summary(params, name: str = "model") -> str:
     lines.append(f"{'total':<{width}}  {total:>12,}  "
                  f"({total * 4 / 2**20:.1f} MB f32)")
     return "\n".join(lines)
+
+
+def hz_to_mel_htk(f):
+    """HTK mel formula 2595*log10(1 + f/700) (reference: flow.py:148-151 —
+    note: the reference's *filterbank* uses the Slaney formula in dsp/mel.py;
+    this HTK variant backs only mel_bin_index below, and neither is called
+    anywhere in the reference — kept for inventory parity)."""
+    import numpy as _np
+    if isinstance(f, (list, _np.ndarray)):
+        f = _np.array(f)
+    return 2595 * _np.log10(1 + f / 700)
+
+
+def mel_bin_index(frequency, sample_rate, num_mel_bins):
+    """Mel bin holding ``frequency`` on a [0, nyquist] HTK mel grid
+    (reference: flow.py:153-163; dead code there, preserved for surface
+    parity)."""
+    import numpy as _np
+    nyquist = sample_rate / 2
+    m_min = hz_to_mel_htk(0)
+    m_max = hz_to_mel_htk(nyquist)
+    mel_value = hz_to_mel_htk(frequency)
+    bin_index = _np.floor((mel_value - m_min) / (m_max - m_min) * num_mel_bins)
+    if isinstance(bin_index, _np.ndarray):
+        return bin_index.astype(int)
+    return int(bin_index)

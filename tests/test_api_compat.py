@@ -176,3 +176,17 @@ class TestReferenceConfigLoading:
         assert cfg.data.downsample_min == 4000
         assert cfg.data.downsample_max == 32000
         assert cfg.train.random_seed == 104
+
+
+class TestMelBinHelpers:
+    def test_mel_bin_index_matches_reference_formula(self):
+        from flowhigh_tpu.utils import hz_to_mel_htk, mel_bin_index
+        np.testing.assert_allclose(hz_to_mel_htk(700.0),
+                                   2595 * np.log10(2), rtol=1e-12)
+        assert mel_bin_index(0, 48000, 256) == 0
+        assert mel_bin_index(24000, 48000, 256) == 256
+        # 8 kHz cutoff of a 16 kHz source lands mid-scale
+        b = mel_bin_index(8000, 48000, 256)
+        assert 150 < b < 220
+        arr = mel_bin_index(np.array([1000.0, 4000.0]), 48000, 256)
+        assert arr.dtype.kind == "i" and arr[0] < arr[1]
