@@ -34,7 +34,7 @@ def main():
 
     seconds = 10.0
     in_sr = 16000
-    reps = 5
+    reps = 9  # median over more reps: run-to-run spread is ~5%
 
     sr = FlowHighSR(FlowHighConfig(), cfm_method="independent_cfm_adaptive",
                     ode_method="euler", fused_vocoder=True)
