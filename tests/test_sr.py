@@ -279,3 +279,62 @@ class TestShardedServing:
         model.ode_method = "adaptive"
         with _pytest.raises(NotImplementedError):
             model.make_sharded_generate(make_mesh(n_data=2), in_sr=16000)
+
+
+class TestEndToEndGolden:
+    """Regression net across rounds: fixed tiny model + fixed input on the
+    CPU backend must keep producing the committed golden waveform."""
+
+    GOLDEN = "tests/goldens/generate_tiny_cpu.npz"
+
+    def _run(self):
+        from flowhigh_tpu import FlowHighSR
+        from flowhigh_tpu.config import (FlowHighConfig, ModelConfig,
+                                         VocoderConfig)
+        cfg = FlowHighConfig().replace(
+            model=ModelConfig(dim_in=256, dim=32, depth=2, heads=2, dim_head=8),
+            vocoder=VocoderConfig(
+                num_mels=256, upsample_initial_channel=16,
+                upsample_rates=(8, 5, 4, 3), upsample_kernel_sizes=(16, 10, 8, 6),
+                resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),)))
+        m = FlowHighSR(cfg, cfm_method="independent_cfm_adaptive",
+                       ode_method="euler")
+        m.init_params(jax.random.PRNGKey(42))
+        t = np.arange(8000) / 16000.0
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)
+             + 0.1 * np.sin(2 * np.pi * 3500 * t)).astype(np.float32)
+        return m.generate(x, 16000, timestep=1, seed=7)
+
+    def test_matches_golden(self):
+        import pathlib
+        out = np.asarray(self._run())
+        path = pathlib.Path(self.GOLDEN)
+        if not path.exists():  # first run: write the golden
+            path.parent.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(path, out=out)
+            import pytest as _pytest
+            _pytest.skip("golden written; re-run to compare")
+        ref = np.load(path)["out"]
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+class TestShortInputs:
+    def test_generate_shorter_than_fir(self):
+        """Inputs shorter than the resampling FIR must still produce a
+        correctly-sized output (bucketing pads them to 1 s)."""
+        from flowhigh_tpu import FlowHighSR
+        from flowhigh_tpu.config import (FlowHighConfig, ModelConfig,
+                                         VocoderConfig)
+        cfg = FlowHighConfig().replace(
+            model=ModelConfig(dim_in=256, dim=16, depth=2, heads=2, dim_head=4),
+            vocoder=VocoderConfig(
+                num_mels=256, upsample_initial_channel=16,
+                upsample_rates=(8, 5, 4, 3), upsample_kernel_sizes=(16, 10, 8, 6),
+                resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),)))
+        m = FlowHighSR(cfg, ode_method="euler")
+        m.init_params(jax.random.PRNGKey(0))
+        x = (np.random.default_rng(0).standard_normal(40) * 0.3).astype(np.float32)
+        out = m.generate(x, 16000, timestep=1)
+        assert out.shape == (1, 120)  # floor(40 * 3)
+        assert np.isfinite(out).all()

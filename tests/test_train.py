@@ -332,3 +332,28 @@ class TestAutoResume:
                         log_fn=logs.append, auto_resume=True)
         assert int(final.step) == 4
         assert any("auto-resuming" in str(l) for l in logs)
+
+
+class TestGradAccum:
+    def test_multisteps_updates_every_nth(self, tiny_batch):
+        """grad_accum_every=2 (optax.MultiSteps — the reference's no_sync
+        micro-batching, trainer.py:274-296): params change only on every
+        second micro-step, and the accumulated update is the mean-gradient
+        step."""
+        cfg = TINY_CFG.replace(train=TrainConfig(
+            batch_size=8, lr=1e-3, num_train_steps=100, num_warmup_steps=0,
+            save_model_every=0, grad_accum_every=2))
+        tr = Trainer(cfg, mesh=make_mesh(n_data=1, n_model=1),
+                     cfm_method="independent_cfm_adaptive")
+        state = tr.init_state(jax.random.PRNGKey(0))
+        p0 = jax.tree.leaves(jax.device_get(state.params))
+        state, m1 = tr.train_step(state, tiny_batch)
+        p1 = jax.tree.leaves(jax.device_get(state.params))
+        # first micro-step: gradients accumulated, no apply yet
+        for a, b in zip(p0, p1):
+            np.testing.assert_array_equal(a, b)
+        state, m2 = tr.train_step(state, tiny_batch)
+        p2 = jax.tree.leaves(jax.device_get(state.params))
+        changed = any(not np.array_equal(a, b) for a, b in zip(p1, p2))
+        assert changed
+        assert np.isfinite(float(m2["loss"]))
