@@ -75,7 +75,6 @@ class FLowHigh:
             raise NotImplementedError(
                 "conv_pos_embed_groups defaults to dim (depthwise); other "
                 "values are not supported")
-        del attn_flash  # attention dispatch is XLA's choice on TPU
         self.audio_enc_dec = audio_enc_dec
         self.config = ModelConfig(
             architecture=architecture,
@@ -84,6 +83,7 @@ class FLowHigh:
             ff_mult=ff_mult,
             conv_pos_embed_kernel_size=conv_pos_embed_kernel_size,
             attn_qk_norm=attn_qk_norm,
+            attn_flash=attn_flash,
             ff_dropout=ff_dropout,
             attn_dropout=attn_dropout,
             num_register_tokens=num_register_tokens,

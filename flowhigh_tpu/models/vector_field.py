@@ -78,6 +78,7 @@ class VectorFieldNet(nn.Module):
                 skip_connect_scale=cfg.skip_connect_scale,
                 use_gateloop_layers=cfg.use_gateloop_layers,
                 attn_dropout=cfg.attn_dropout, ff_dropout=cfg.ff_dropout,
+                attn_flash=cfg.attn_flash,
                 dtype=dtype, name="transformer",
             )(h, time_emb=t_emb, mask=mask, deterministic=not train)
         elif cfg.architecture == "convnext":

@@ -237,3 +237,27 @@ class TestConstructorSurface:
         # register tokens come before the layers (direct param of Transformer)
         assert (order.index("transformer.register_tokens")
                 < order.index("transformer.layers.0.2.to_gamma.weight"))
+
+
+class TestFlashAttention:
+    """attn_flash (reference flow.py:71 / attend.py:40-100): the blockwise
+    Pallas kernel is TPU-only; on other backends the flag falls back to the
+    einsum path, so results here (CPU suite) must be IDENTICAL."""
+
+    def test_cpu_fallback_is_exact(self):
+        cfg_e = ModelConfig(dim_in=8, dim=16, depth=2, heads=2, dim_head=4)
+        cfg_f = ModelConfig(dim_in=8, dim=16, depth=2, heads=2, dim_head=4,
+                            attn_flash=True)
+        net_e, net_f = VectorFieldNet(cfg_e), VectorFieldNet(cfg_f)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, 12, 8)).astype(np.float32))
+        params = net_e.init(jax.random.PRNGKey(0), x, times=jnp.zeros((2,)),
+                            cond=x)
+        ye = net_e.apply(params, x, times=jnp.zeros((2,)), cond=x)
+        yf = net_f.apply(params, x, times=jnp.zeros((2,)), cond=x)
+        np.testing.assert_array_equal(np.asarray(ye), np.asarray(yf))
+
+    def test_flowhigh_kwarg_accepted(self):
+        fh = FLowHigh(dim_in=8, dim=16, depth=2, dim_head=4, heads=2,
+                      attn_flash=True)
+        assert fh.config.attn_flash
