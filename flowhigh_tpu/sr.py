@@ -92,6 +92,7 @@ class FlowHighSR:
         ode_method: Optional[str] = None,
         cond_drop_prob: float = 0.0,
         upsampling_method: str = "scipy",
+        prior_semantics: str = "reference",
         fused_vocoder: bool = False,
         packed_vocoder: Optional[bool] = None,  # default: follows fused_vocoder
         fuse_act_conv: bool = False,  # measured ~3% slower than separate kernels
@@ -117,6 +118,11 @@ class FlowHighSR:
                 f"upsampling_method must be 'scipy' or 'librosa', "
                 f"got {upsampling_method!r}")
         self.upsampling_method = upsampling_method
+        if prior_semantics not in ("reference", "paper"):
+            raise ValueError(
+                f"prior_semantics must be 'reference' or 'paper', "
+                f"got {prior_semantics!r}")
+        self.prior_semantics = prior_semantics
 
         self.net = VectorFieldNet(config.model)
         if packed_vocoder is None:
@@ -157,9 +163,26 @@ class FlowHighSR:
         self.cfm_method = cfm_method
 
     def _default_stds(self):
-        """(std_1, std_2) prior scales per cfm method
-        (reference: flowhighsr.py:89-96: independent_cfm_adaptive uses
-        std_2 = 1.0, the others sigma)."""
+        """(std_1, std_2) prior scales that ``generate()`` hands the sampler.
+
+        The reference's generate() *intends* a unit-variance prior for
+        independent_cfm_adaptive — it passes ``std_2=1.``
+        (reference: flowhighsr.py:92) — but its sample() then overwrites BOTH
+        stds because ``std_1`` was never passed
+        (reference: cfm_superresolution.py:178-183): the prior the reference
+        actually executes is ``cond + sigma*eps`` with the inference default
+        ``sigma=0`` (reference: flowhighsr.py:24), i.e. deterministic. Modes:
+
+        - ``"reference"`` (default): reproduce the *executed* behavior —
+          ``(1.0, self.sigma)`` for every method. This is the
+          apples-to-apples setting for checkpoint-level LSD comparison
+          against the reference (basic_cfm ignores the stds either way).
+        - ``"paper"``: the *intended* math — ``std_2=1.0`` for
+          independent_cfm_adaptive (prior ``N(cond, 1)``, consistent with
+          that path's sigma_t=1 at t=0), ``self.sigma`` for the others.
+        """
+        if self.prior_semantics == "reference":
+            return 1.0, self.sigma
         std_2 = 1.0 if self.cfm_method == "independent_cfm_adaptive" else self.sigma
         return 1.0, std_2
 
@@ -320,7 +343,7 @@ class FlowHighSR:
         padded = np.zeros(n_pad, dtype=np.float32)
         padded[:n] = audio
 
-        std_1, std_2 = self._default_stds()  # (reference: flowhighsr.py:92)
+        std_1, std_2 = self._default_stds()  # see _default_stds for the quirk
 
         out, n48, stats = self._generate_jit(
             self.params, self.melvoco.vocoder_params,

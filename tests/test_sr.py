@@ -124,6 +124,68 @@ class TestFlowHighSR:
         np.testing.assert_array_equal(a, b)
 
 
+class TestPriorSemantics:
+    """Pin generate()'s prior construction both ways (VERDICT r2 missing #1).
+
+    The reference's generate() passes std_2=1. for independent_cfm_adaptive
+    (flowhighsr.py:92) but sample() overwrites BOTH stds because std_1 is
+    None (cfm_superresolution.py:178-183) — the executed prior is
+    cond + sigma*eps with the inference default sigma=0: deterministic.
+    prior_semantics='reference' (default) reproduces that; 'paper' keeps the
+    intended N(cond, 1) prior."""
+
+    def _model(self, **kw):
+        m = FlowHighSR(TINY, cfm_method="independent_cfm_adaptive",
+                       ode_method="euler", **kw)
+        return m
+
+    def test_default_stds_reference_mode(self):
+        for method in ["basic_cfm", "independent_cfm_adaptive",
+                       "independent_cfm_constant", "independent_cfm_mix"]:
+            m = self._model()
+            m.set_cfm_method(method)
+            # executed reference behavior: both stds from sigma (= 0 at
+            # inference) regardless of method
+            assert m._default_stds() == (1.0, 0.0), method
+
+    def test_default_stds_paper_mode(self):
+        m = self._model(prior_semantics="paper")
+        assert m._default_stds() == (1.0, 1.0)
+        m.set_cfm_method("independent_cfm_constant")
+        assert m._default_stds() == (1.0, 0.0)
+
+    def test_reference_mode_prior_is_deterministic(self, tiny_sr, rng):
+        """sigma=0 reference semantics: generate() is seed-independent for
+        independent_cfm_adaptive — exactly what the reference executes."""
+        audio = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+        a = tiny_sr.generate(audio, sr=8000, timestep=1, seed=0)
+        b = tiny_sr.generate(audio, sr=8000, timestep=1, seed=123)
+        np.testing.assert_array_equal(a, b)
+
+    def test_paper_mode_prior_draws_noise(self, rng):
+        m = self._model(prior_semantics="paper")
+        m.init_params(jax.random.PRNGKey(0))
+        audio = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+        a = m.generate(audio, sr=8000, timestep=1, seed=0)
+        b = m.generate(audio, sr=8000, timestep=1, seed=123)
+        assert np.abs(a - b).max() > 1e-6
+
+    def test_sample_overwrite_rule(self, tiny_sr, rng):
+        """sample() itself mirrors the reference's overwrite: passing only
+        std_2 (like the reference's generate() does) must behave as if both
+        stds were defaulted — NOT honor the lone std_2."""
+        cond = jnp.asarray(rng.standard_normal((1, 30, 256)).astype(np.float32))
+        got = tiny_sr.sample(cond=cond, time_steps=1, decode_to_audio=False,
+                             std_2=1.0, rng=jax.random.PRNGKey(3))
+        want = tiny_sr.sample(cond=cond, time_steps=1, decode_to_audio=False,
+                              rng=jax.random.PRNGKey(3))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_invalid_mode_rejected(self):
+        with pytest.raises(ValueError):
+            self._model(prior_semantics="intended")
+
+
 class TestCheckpointRoundTrip:
     def test_export_import_identity(self, rng):
         cfg = ModelConfig(dim_in=8, dim=16, depth=2, heads=2, dim_head=4)
@@ -265,10 +327,11 @@ class TestShardedServing:
         out_sh, n48_sh = fn(batch, lens, seed=5)
 
         key = _jax.random.fold_in(_jax.random.PRNGKey(5), 0)
+        std_1, std_2 = model._default_stds()
         out_ref, n48_ref, _ = model._generate_jit(
             model.params, model.melvoco.vocoder_params,
             jnp.asarray(batch), jnp.asarray(lens, jnp.int32), key,
-            16000, 48000, 1, model.cfm_method, model.ode_method, 1.0, 1.0)
+            16000, 48000, 1, model.cfm_method, model.ode_method, std_1, std_2)
         np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
                                    atol=1e-5)
 
