@@ -213,8 +213,10 @@ class ConditionalFlowMatcherWrapper:
         (reference: :309-323 via torchaudio resample). ``random_sr`` is
         accepted for signature parity and unused, exactly like the reference
         (flow.py:191 receives it and never reads it). ``mask``/``cond_mask``
-        are self-attention / cond masks forwarded when shapes permit; the
-        segment crop builds its own validity mask (reference: :470-507)."""
+        are accepted for signature parity but IGNORED: the segment crop
+        rebuilds validity from ``cond_lengths`` (reference: :470-507), which
+        is the supported masking input — a caller-supplied attention mask
+        could not survive the random crop anyway."""
         del cond_mask, random_sr
         if cfm_method not in CFMConfig.CFM_METHODS:
             cfm_method = self.cfm_method
@@ -244,6 +246,16 @@ class ConditionalFlowMatcherWrapper:
         # near-dead in the reference anyway (both encodes come from
         # equal-length waves in its trainer).
         t = max(x1.shape[1], cond.shape[1])
+        if x1.shape[1] != cond.shape[1]:
+            # shapes are trace-time static, so this surfaces once per compile:
+            # training on mismatched-length mels is NOT bit-comparable to the
+            # reference (which front-pads; see comment above)
+            import warnings
+            warnings.warn(
+                f"x1/cond mel lengths differ ({x1.shape[1]} vs "
+                f"{cond.shape[1]}): end-padding to {t} (reference would "
+                f"front-pad — deliberate deviation, see docstring)",
+                stacklevel=2)
         if x1.shape[1] < t:
             x1 = jnp.pad(x1, ((0, 0), (0, t - x1.shape[1]), (0, 0)))
         if cond.shape[1] < t:

@@ -357,6 +357,12 @@ def optim_state_to_torch(params, opt_state, model_cfg, train_cfg, step: int) -> 
     }]
     if adam is None:
         return {"state": {}, "param_groups": groups}
+    import jax
+    if (jax.tree_util.tree_structure(adam.mu)
+            != jax.tree_util.tree_structure(params)):
+        raise ValueError(
+            "optax Adam moment tree does not match the param tree — the "
+            "opt_state belongs to a different model than `params`")
 
     mu_t = params_to_torch_state(adam.mu, model_cfg)
     nu_t = params_to_torch_state(adam.nu, model_cfg)

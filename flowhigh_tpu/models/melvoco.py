@@ -5,6 +5,11 @@ Functional re-design of the reference MelVoco
 function of the (static) mel config — reflect pad (n_fft-hop)/2, center=False
 STFT, sqrt(re^2+im^2+1e-9) magnitude, Slaney mel matmul, log-clamp 1e-5 — and
 decode applies the frozen BigVGAN generator params.
+
+Deliberately omitted: the reference's alternative torchaudio encode path
+(reference: melvoco.py:88-112, ``use_torchaudio=True``) — dead in practice
+(nothing in the reference ever sets the flag) and redundant here: the single
+encode above already matches the librosa-path math it duplicates.
 """
 
 from __future__ import annotations

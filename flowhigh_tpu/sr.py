@@ -55,7 +55,15 @@ def _warn_if_unconverged(stats) -> None:
 def _fast_init(init_fn, rng: jax.Array):
     """Shape-only init: eval_shape the flax init (no forward compile), fill
     kernels with fan-in-scaled normals (lecun-like, so deep conv stacks keep
-    unit gain and stay finite) and 1-D params with zeros."""
+    unit gain and stay finite) and 1-D params with zeros.
+
+    NOT a proper init: zeroing 1-D params also zeroes biases whose proper
+    init is ones (e.g. AdaRMSNorm's to_gamma bias), so a fast-init model runs
+    with degenerate norm scales. That is fine for what this is for —
+    benchmarks and compile checks, whose timing is shape-bound, with outputs
+    kept finite by the unit-gain kernels — but any data-dependent use
+    (training warm-starts, int8 calibration, quality eval) must use the real
+    ``init_params(fast=False)`` path instead."""
     shapes = jax.eval_shape(init_fn, rng)
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
     # host-side value generation: per-leaf jax.random on device would mean

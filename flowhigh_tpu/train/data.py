@@ -206,7 +206,10 @@ class Subset:
 def random_split(dataset, valid_frac: float, seed: int = 53):
     """Seeded train/valid split (reference: trainer.py:118-129 —
     ``random_split(ds, [train, valid], generator=manual_seed(53))``).
-    Returns (train_subset, valid_subset); deterministic for a given seed."""
+    Returns (train_subset, valid_subset); deterministic for a given seed,
+    but NOT item-identical to torch's ``generator(53)`` split (numpy's
+    permutation consumes randomness differently) — don't expect matching
+    train/valid membership when comparing runs against the reference."""
     n = len(dataset)
     train_size = int((1 - valid_frac) * n)
     perm = np.random.default_rng(seed).permutation(n)

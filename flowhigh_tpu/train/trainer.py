@@ -190,8 +190,18 @@ class Trainer:
         ``valid_batches``: list of held-out batches (or a callable returning
         one) evaluated every ``eval_every`` steps — the reference's
         ``save_results_every`` validation cadence with the hook the reference
-        left stubbed (trainer.py:322-331) actually implemented."""
+        left stubbed (trainer.py:322-331) actually implemented.
+
+        Step accounting matches the reference (trainer.py:253-296): every
+        count — ``num_steps``, the log/save/eval cadences, the logged lr, the
+        cosine horizon — is in OPTIMIZER UPDATES. With ``grad_accum_every=k``
+        each update consumes k micro-batches from ``data_iter`` (optax
+        MultiSteps applies the pooled gradient on the k-th), so the loop runs
+        ``num_steps*k`` micro-steps and logging/saving happens only on update
+        boundaries. ``state.step`` counts micro-steps (one per train_step
+        call); updates = step // k."""
         cfg = self.config.train
+        k = max(cfg.grad_accum_every, 1)
         num_steps = num_steps or cfg.num_train_steps
         log_every = log_every or cfg.log_every
         save_every = save_every or cfg.save_model_every
@@ -217,16 +227,22 @@ class Trainer:
         self.results_folder.mkdir(parents=True, exist_ok=True)
         metrics_path = self.results_folder / "metrics.jsonl"
         t0 = time.time()
-        start = int(state.step)
-        for i in range(start, num_steps):
+        start = int(state.step)  # micro-steps (auto-resume restores these)
+        for i in range(start, num_steps * k):
             batch = next(data_iter)
             state, metrics = self.train_step(state, batch)
-            if (i + 1) % log_every == 0:
+            if (i + 1) % k:
+                continue  # mid-accumulation: no optimizer update was applied
+            upd = (i + 1) // k  # optimizer updates applied so far
+            if upd % log_every == 0:
                 loss = float(metrics["loss"])
-                lr = float(self.schedule(i))
-                line = {"step": i + 1, "loss": loss, "lr": lr,
+                # the lr the update just applied: optax's schedule is driven
+                # by the inner Adam count, which MultiSteps advances once per
+                # update — update j (0-based) used schedule(j)
+                lr = float(self.schedule(upd - 1))
+                line = {"step": upd, "loss": loss, "lr": lr,
                         "grad_norm": float(metrics["grad_norm"]),
-                        "steps_per_sec": (i + 1 - start) / (time.time() - t0)}
+                        "steps_per_sec": (upd - start // k) / (time.time() - t0)}
                 log_fn(f"[train] {line}")
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(line) + "\n")
@@ -234,13 +250,13 @@ class Trainer:
                     import tensorflow as tf
                     with tb_writer.as_default():
                         # reference scalar names (trainer.py:305-308)
-                        tf.summary.scalar("training/cfm_loss", loss, step=i + 1)
-                        tf.summary.scalar("training/lr", lr, step=i + 1)
+                        tf.summary.scalar("training/cfm_loss", loss, step=upd)
+                        tf.summary.scalar("training/lr", lr, step=upd)
             if (valid_batches is not None and eval_every
-                    and (i + 1) % eval_every == 0):
+                    and upd % eval_every == 0):
                 batches = valid_batches() if callable(valid_batches) else valid_batches
                 vm = self.evaluate(state, batches)
-                line = {"step": i + 1, "valid_loss": vm["valid_loss"]}
+                line = {"step": upd, "valid_loss": vm["valid_loss"]}
                 log_fn(f"[valid] {line}")
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(line) + "\n")
@@ -248,16 +264,23 @@ class Trainer:
                     import tensorflow as tf
                     with tb_writer.as_default():
                         tf.summary.scalar("validation/cfm_loss",
-                                          vm["valid_loss"], step=i + 1)
-            if save_every and (i + 1) % save_every == 0:
+                                          vm["valid_loss"], step=upd)
+            if save_every and upd % save_every == 0:
                 self.save(state)
         return state
 
     # -- checkpointing ----------------------------------------------------------
 
+    def _updates(self, state: TrainState) -> int:
+        """Optimizer updates applied so far: micro-steps // grad_accum_every
+        (the unit the reference's step counter and schedule run in)."""
+        return int(state.step) // max(self.config.train.grad_accum_every, 1)
+
     def save(self, state: TrainState, folder: Optional[Path] = None):
         """orbax (resumable, sharded) + torch-layout export
-        (reference naming FLowHigh.{step}.pt: trainer.py:209-215)."""
+        (reference naming FLowHigh.{step}.pt: trainer.py:209-215). The orbax
+        dir is keyed by micro-step (what resume restores); the torch export
+        is keyed by optimizer updates (the reference's step unit)."""
         folder = Path(folder or self.results_folder)
         folder.mkdir(parents=True, exist_ok=True)
         step = int(state.step)
@@ -269,7 +292,7 @@ class Trainer:
                 {"params": state.params, "opt_state": state.opt_state,
                  "rng": state.rng, "step": step}))
 
-        self.export_torch(state, folder / f"FLowHigh.{step}.pt")
+        self.export_torch(state, folder / f"FLowHigh.{self._updates(state)}.pt")
 
     def restore_state(self, path, template: TrainState) -> TrainState:
         """Restore the FULL training state (params + optimizer moments + rng
@@ -307,7 +330,9 @@ class Trainer:
                                          params_to_torch_state,
                                          scheduler_state_to_torch)
         params = jax.device_get(state.params)
-        step = int(state.step)
+        # torch Adam's per-param 'step' and CosineAnnealingLR's last_epoch
+        # both count optimizer updates, not micro-steps
+        step = self._updates(state)
         sd = {k: torch.from_numpy(np.array(v)) for k, v in
               params_to_torch_state(params, self.config.model).items()}
         optim = optim_state_to_torch(params, jax.device_get(state.opt_state),
