@@ -219,6 +219,131 @@ def _act_params(s: _StateDict, base: str, voc_cfg) -> dict:
     return out
 
 
+def vocoder_params_to_torch_state(params: dict, voc_cfg) -> dict:
+    """Inverse of map_vocoder_state_dict: flax BigVGAN generator params ->
+    the reference's weight-normed ``ckpt['generator']`` layout
+    (reference: bigvgan/init_vocoder.py:14-17 loads it, utils.py:57-64 saves
+    it). The folded weight w re-emits as the valid decomposition
+    ``weight_v = w, weight_g = |w|`` (fold_weight_norm inverts it exactly),
+    so the package loads into the reference's weight_norm-wrapped modules;
+    the kaiser filter buffers are rebuilt by module __init__ and omitted."""
+    import torch
+    p = params["params"] if "params" in params else params
+    num_kernels = len(voc_cfg.resblock_kernel_sizes)
+    out: dict = {}
+
+    def put_conv(base: str, kernel, bias):
+        w = np.asarray(kernel).transpose(2, 1, 0)  # invert map's transpose
+        axes = tuple(range(1, w.ndim))
+        g = np.sqrt(np.sum(w * w, axis=axes, keepdims=True))
+        out[f"{base}.weight_g"] = torch.from_numpy(g.astype(np.float32))
+        out[f"{base}.weight_v"] = torch.from_numpy(w.copy())
+        out[f"{base}.bias"] = torch.from_numpy(np.asarray(bias).copy())
+
+    def put_act(base: str, act: dict):
+        out[f"{base}.act.alpha"] = torch.from_numpy(np.asarray(act["alpha"]).copy())
+        if voc_cfg.activation == "snakebeta":
+            out[f"{base}.act.beta"] = torch.from_numpy(np.asarray(act["beta"]).copy())
+
+    put_conv("conv_pre", p["conv_pre_kernel"], p["conv_pre_bias"])
+    put_conv("conv_post", p["conv_post_kernel"], p["conv_post_bias"])
+    put_act("activation_post", p["activation_post"])
+    for i in range(len(voc_cfg.upsample_rates)):
+        put_conv(f"ups.{i}.0", p[f"ups_{i}_kernel"], p[f"ups_{i}_bias"])
+    n_blocks = len(voc_cfg.upsample_rates) * num_kernels
+    for n in range(n_blocks):
+        blk = p[f"resblocks_{n}"]
+        B = f"resblocks.{n}"
+        n_dil = len(voc_cfg.resblock_dilation_sizes[n % num_kernels])
+        if voc_cfg.resblock == "1":
+            for j in range(n_dil):
+                put_conv(f"{B}.convs1.{j}", blk[f"convs1_{j}_kernel"],
+                         blk[f"convs1_{j}_bias"])
+                put_conv(f"{B}.convs2.{j}", blk[f"convs2_{j}_kernel"],
+                         blk[f"convs2_{j}_bias"])
+                put_act(f"{B}.activations.{2 * j}", blk[f"act1_{j}"])
+                put_act(f"{B}.activations.{2 * j + 1}", blk[f"act2_{j}"])
+        else:
+            for j in range(n_dil):
+                put_conv(f"{B}.convs.{j}", blk[f"convs_{j}_kernel"],
+                         blk[f"convs_{j}_bias"])
+                put_act(f"{B}.activations.{j}", blk[f"act_{j}"])
+    return out
+
+
+# --- discriminators (weight-norm PARAMETRIZED, not folded) ---------------------
+#
+# Unlike the frozen generator, MPD/MRD train, so the (g, v) parametrization is
+# preserved: torch ``weight_v`` (O, I, kH, kW) <-> flax ``*_v`` (kH, kW, I, O),
+# torch ``weight_g`` (O, 1, 1, 1) <-> flax ``*_g`` (O,).
+# (reference layout: bigvgan/models.py:212-220 MPD, :288-296 MRD.)
+
+_DISC_N_CONVS = 5  # both DiscriminatorP and DiscriminatorR: 5 convs + post
+
+
+def _disc_to_flax(s: _StateDict, base: str) -> dict:
+    out = {}
+    for mod, name in ([(f"convs.{j}", f"convs_{j}")
+                       for j in range(_DISC_N_CONVS)]
+                      + [("conv_post", "conv_post")]):
+        out[f"{name}_v"] = s.raw(f"{base}.{mod}.weight_v").transpose(2, 3, 1, 0)
+        out[f"{name}_g"] = s.raw(f"{base}.{mod}.weight_g").reshape(-1)
+        out[f"{name}_bias"] = s.raw(f"{base}.{mod}.bias")
+    return out
+
+
+def _disc_to_torch(p: dict, base: str, out: dict):
+    import torch
+    for mod, name in ([(f"convs.{j}", f"convs_{j}")
+                       for j in range(_DISC_N_CONVS)]
+                      + [("conv_post", "conv_post")]):
+        v = np.asarray(p[f"{name}_v"]).transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        g = np.asarray(p[f"{name}_g"]).reshape(-1, 1, 1, 1)
+        out[f"{base}.{mod}.weight_v"] = torch.from_numpy(v.copy())
+        out[f"{base}.{mod}.weight_g"] = torch.from_numpy(g.copy())
+        out[f"{base}.{mod}.bias"] = torch.from_numpy(
+            np.asarray(p[f"{name}_bias"]).copy())
+
+
+def map_mpd_state_dict(sd: dict, periods=(2, 3, 5, 7, 11)) -> dict:
+    """torch MultiPeriodDiscriminator state dict -> flax params
+    (reference: bigvgan/models.py:244-251 — one DiscriminatorP per period,
+    held as ``discriminators.{i}``)."""
+    s = _StateDict(sd)
+    return {"params": _tree_to_jnp({
+        f"p{p}": _disc_to_flax(s, f"discriminators.{i}")
+        for i, p in enumerate(periods)})}
+
+
+def map_mrd_state_dict(sd: dict,
+                       resolutions=((1024, 120, 600), (2048, 240, 1200),
+                                    (512, 50, 240))) -> dict:
+    """torch MultiResolutionDiscriminator state dict -> flax params
+    (reference: bigvgan/models.py:321-330)."""
+    s = _StateDict(sd)
+    return {"params": _tree_to_jnp({
+        f"r{res[0]}": _disc_to_flax(s, f"discriminators.{i}")
+        for i, res in enumerate(resolutions)})}
+
+
+def mpd_params_to_torch_state(params: dict, periods=(2, 3, 5, 7, 11)) -> dict:
+    p = params["params"] if "params" in params else params
+    out: dict = {}
+    for i, per in enumerate(periods):
+        _disc_to_torch(p[f"p{per}"], f"discriminators.{i}", out)
+    return out
+
+
+def mrd_params_to_torch_state(params: dict,
+                              resolutions=((1024, 120, 600), (2048, 240, 1200),
+                                           (512, 50, 240))) -> dict:
+    p = params["params"] if "params" in params else params
+    out: dict = {}
+    for i, res in enumerate(resolutions):
+        _disc_to_torch(p[f"r{res[0]}"], f"discriminators.{i}", out)
+    return out
+
+
 # --- export (jax -> torch layout) ----------------------------------------------
 
 def params_to_torch_state(params: dict, model_cfg) -> dict:

@@ -35,8 +35,18 @@ def hann_window(win_length: int, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(hann_window_np(win_length), dtype=dtype)
 
 
-def _padded_window_np(n_fft: int, win_length: int) -> np.ndarray:
-    win = hann_window_np(win_length)
+def _padded_window_np(n_fft: int, win_length: int,
+                      window: str = "hann") -> np.ndarray:
+    """``window='rect'`` = ones(win_length): what ``torch.stft`` uses when no
+    window tensor is given (the reference MRD's convention,
+    reference: bigvgan/models.py:313-318). Both are center-padded to n_fft
+    like torch does."""
+    if window == "hann":
+        win = hann_window_np(win_length)
+    elif window == "rect":
+        win = np.ones(win_length, np.float32)
+    else:
+        raise ValueError(f"unsupported window: {window!r}")
     if win_length < n_fft:
         lpad = (n_fft - win_length) // 2
         win = np.pad(win, (lpad, n_fft - win_length - lpad))
@@ -80,7 +90,8 @@ def _pad_signal(x: jax.Array, n_fft: int, hop_length: int, center: bool,
 
 
 @functools.lru_cache(maxsize=8)
-def _dft_analysis_kernel(n_fft: int, win_length: int) -> np.ndarray:
+def _dft_analysis_kernel(n_fft: int, win_length: int,
+                         window: str = "hann") -> np.ndarray:
     """[n_fft, 1, 2*(n_fft//2+1)] HIO conv kernel: windowed real DFT.
 
     Out channels = [re_0..re_B, im_0..im_B]. Expressing the STFT as ONE
@@ -89,7 +100,7 @@ def _dft_analysis_kernel(n_fft: int, win_length: int) -> np.ndarray:
     of audio inside a fused program) while this conv runs in ~1 ms.
     """
     bins = n_fft // 2 + 1
-    win = _padded_window_np(n_fft, win_length)
+    win = _padded_window_np(n_fft, win_length, window)
     t = np.arange(n_fft)[:, None]
     b = np.arange(bins)[None, :]
     ang = -2.0 * np.pi * t * b / n_fft
@@ -110,7 +121,7 @@ def _dft_synthesis(n_fft: int, win_length: int) -> np.ndarray:
     return k.T.astype(np.float32)[:, None, :]         # [n_fft, 1, 2*bins]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def stft(
     x: jax.Array,
     n_fft: int = 2048,
@@ -118,6 +129,7 @@ def stft(
     win_length: int = 2048,
     center: bool = True,
     pad_mode: str = "reflect",
+    window: str = "hann",
 ) -> jax.Array:
     """Complex STFT [..., T] -> [..., F_bins, frames] (onesided).
 
@@ -145,7 +157,7 @@ def stft(
                  ((0, 0), (0, t_chunks * hop_length - t)))
     xc = xc.reshape((-1, t_chunks, hop_length))       # [N, chunks, hop]
 
-    w = jnp.asarray(_dft_analysis_kernel(n_fft, win_length))[:, 0, :]
+    w = jnp.asarray(_dft_analysis_kernel(n_fft, win_length, window))[:, 0, :]
     w = jnp.pad(w, ((0, n_pieces * hop_length - n_fft), (0, 0)))
     w = w.reshape(n_pieces, hop_length, 2 * bins)     # HIO
 
@@ -167,8 +179,9 @@ def stft_magnitude(
     center: bool = True,
     pad_mode: str = "reflect",
     eps: float = 0.0,
+    window: str = "hann",
 ) -> jax.Array:
-    spec = stft(x, n_fft, hop_length, win_length, center, pad_mode)
+    spec = stft(x, n_fft, hop_length, win_length, center, pad_mode, window)
     return jnp.sqrt(spec.real**2 + spec.imag**2 + eps)
 
 

@@ -6,8 +6,19 @@ Conv2d stacks over period-reshaped waveforms (MPD) and multi-resolution
 Conv2d stacks over STFT magnitudes (MRD), with the standard LS-GAN and
 feature-matching losses.
 
-NHWC layout (channels last, TPU-native); weight norm folds at load like the
-generator.
+TPU-native choices: NHWC layout (channels last); the MRD spectrogram is the
+strided-conv windowed-DFT kernel from dsp.stft with a RECTANGULAR window —
+the reference calls ``torch.stft`` without a window tensor
+(reference: bigvgan/models.py:313-318).
+
+Every conv is **weight-norm parametrized for training** — ``w = g * v/|v|``
+with per-output-channel ``g``, matching the reference's
+``weight_norm(Conv2d(...))`` wrapping (reference: bigvgan/models.py:212-220,
+288-296, torch ``dim=0``). This is load-bearing for GAN stability in the
+BigVGAN recipe; the frozen *generator* folds its weight norm at load instead
+(compat.torch_ckpt.fold_weight_norm) because it only ever runs inference.
+``use_spectral_norm`` (reference: models.py:208,277 — off in every published
+config) fails loudly rather than silently training a different model.
 """
 
 from __future__ import annotations
@@ -17,7 +28,6 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..dsp import stft_magnitude
 
@@ -27,11 +37,32 @@ DEFAULT_PERIODS = (2, 3, 5, 7, 11)
 DEFAULT_RESOLUTIONS = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
 
 
+def _wn_kernel(mdl: nn.Module, name: str, shape) -> jax.Array:
+    """Weight-norm parametrized HWIO conv kernel: params ``{name}_v`` (full
+    shape) and ``{name}_g`` (per-output-channel scale, torch ``dim=0``),
+    giving ``w = v * g/|v|`` with the norm over (H, W, I). ``g`` initializes
+    to ``|v|`` so the initial weight equals ``v`` — exactly torch's
+    ``weight_norm`` at init."""
+    v = mdl.param(f"{name}_v", nn.initializers.lecun_normal(), shape)
+    g = mdl.param(f"{name}_g",
+                  lambda _: jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2))))
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2), keepdims=True))
+    return v * (g.reshape(1, 1, 1, -1) / jnp.maximum(norm, 1e-12))
+
+
 def _conv2d(x, w, b, stride=(1, 1), padding=((0, 0), (0, 0))):
     y = jax.lax.conv_general_dilated(
         x, w, stride, list(padding),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y + b
+
+
+def _check_no_spectral_norm(use_spectral_norm: bool):
+    if use_spectral_norm:
+        raise NotImplementedError(
+            "use_spectral_norm=True is not supported (the reference exposes "
+            "it but every published BigVGAN config runs weight norm); "
+            "training with it silently disabled would be a different model")
 
 
 class DiscriminatorP(nn.Module):
@@ -40,9 +71,11 @@ class DiscriminatorP(nn.Module):
     d_mult: int = 1
     kernel_size: int = 5
     stride: int = 3
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, x):  # x: [B, T]
+        _check_no_spectral_norm(self.use_spectral_norm)
         b, t = x.shape
         p = self.period
         if t % p != 0:
@@ -57,8 +90,7 @@ class DiscriminatorP(nn.Module):
         cin = 1
         pad_h = (self.kernel_size - 1) // 2
         for i, cout in enumerate(chans):
-            w = self.param(f"convs_{i}_kernel", nn.initializers.lecun_normal(),
-                           (self.kernel_size, 1, cin, cout))
+            w = _wn_kernel(self, f"convs_{i}", (self.kernel_size, 1, cin, cout))
             bb = self.param(f"convs_{i}_bias", nn.initializers.zeros, (cout,))
             h = _conv2d(h, w, bb, stride=(self.stride, 1),
                         padding=((pad_h, pad_h), (0, 0)))
@@ -66,14 +98,12 @@ class DiscriminatorP(nn.Module):
             fmap.append(h)
             cin = cout
         cin = chans[-1]
-        w = self.param("convs_4_kernel", nn.initializers.lecun_normal(),
-                       (self.kernel_size, 1, cin, cin))
+        w = _wn_kernel(self, "convs_4", (self.kernel_size, 1, cin, cin))
         bb = self.param("convs_4_bias", nn.initializers.zeros, (cin,))
         h = _conv2d(h, w, bb, padding=((2, 2), (0, 0)))
         h = jax.nn.leaky_relu(h, LRELU_SLOPE)
         fmap.append(h)
-        w = self.param("conv_post_kernel", nn.initializers.lecun_normal(),
-                       (3, 1, cin, 1))
+        w = _wn_kernel(self, "conv_post", (3, 1, cin, 1))
         bb = self.param("conv_post_bias", nn.initializers.zeros, (1,))
         h = _conv2d(h, w, bb, padding=((1, 1), (0, 0)))
         fmap.append(h)
@@ -82,16 +112,24 @@ class DiscriminatorP(nn.Module):
 
 class DiscriminatorR(nn.Module):
     """Resolution discriminator over STFT magnitude
-    (reference: bigvgan/models.py:268-318)."""
+    (reference: bigvgan/models.py:268-318). The spectrogram matches the
+    reference exactly: reflect pad (n_fft-hop)/2 per side, center=False,
+    rectangular window (torch.stft default when none is passed), plain L2
+    magnitude."""
     resolution: Sequence[int]  # (n_fft, hop, win)
     d_mult: int = 1
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, x):  # x: [B, T]
+        _check_no_spectral_norm(self.use_spectral_norm)
         n_fft, hop, win = self.resolution
         mag = stft_magnitude(x, n_fft, hop, win, center=False,
-                             pad_mode="reflect")  # [B, bins, frames]
-        h = jnp.swapaxes(mag, -1, -2)[..., None]  # NHWC: H=frames, W=bins
+                             pad_mode="reflect",
+                             window="rect")  # [B, bins, frames]
+        # reference orientation (models.py:301-305): H=freq bins, W=frames —
+        # the (3, 9) kernels span 9 FRAMES and the stride-2s halve time
+        h = mag[..., None]  # NHWC: H=bins, W=frames
         c = int(32 * self.d_mult)
 
         fmap = []
@@ -102,16 +140,14 @@ class DiscriminatorR(nn.Module):
                  ((3, 3), (1, 1), (1, 1))]
         cin = 1
         for i, (k, s, p) in enumerate(specs):
-            w = self.param(f"convs_{i}_kernel", nn.initializers.lecun_normal(),
-                           (k[0], k[1], cin, c))
+            w = _wn_kernel(self, f"convs_{i}", (k[0], k[1], cin, c))
             bb = self.param(f"convs_{i}_bias", nn.initializers.zeros, (c,))
             h = _conv2d(h, w, bb, stride=s,
                         padding=((p[0], p[0]), (p[1], p[1])))
             h = jax.nn.leaky_relu(h, LRELU_SLOPE)
             fmap.append(h)
             cin = c
-        w = self.param("conv_post_kernel", nn.initializers.lecun_normal(),
-                       (3, 3, c, 1))
+        w = _wn_kernel(self, "conv_post", (3, 3, c, 1))
         bb = self.param("conv_post_bias", nn.initializers.zeros, (1,))
         h = _conv2d(h, w, bb, padding=((1, 1), (1, 1)))
         fmap.append(h)
@@ -122,12 +158,15 @@ class MultiPeriodDiscriminator(nn.Module):
     """(reference: bigvgan/models.py:244-265)."""
     periods: Sequence[int] = DEFAULT_PERIODS
     d_mult: int = 1
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, y, y_hat):
         outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
         for p in self.periods:
-            d = DiscriminatorP(p, self.d_mult, name=f"p{p}")
+            d = DiscriminatorP(p, self.d_mult,
+                               use_spectral_norm=self.use_spectral_norm,
+                               name=f"p{p}")
             o_r, f_r = d(y)
             o_g, f_g = d(y_hat)
             outs_r.append(o_r); outs_g.append(o_g)
@@ -139,12 +178,15 @@ class MultiResolutionDiscriminator(nn.Module):
     """(reference: bigvgan/models.py:321-346)."""
     resolutions: Sequence[Sequence[int]] = DEFAULT_RESOLUTIONS
     d_mult: int = 1
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, y, y_hat):
         outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
         for res in self.resolutions:
-            d = DiscriminatorR(tuple(res), self.d_mult, name=f"r{res[0]}")
+            d = DiscriminatorR(tuple(res), self.d_mult,
+                               use_spectral_norm=self.use_spectral_norm,
+                               name=f"r{res[0]}")
             o_r, f_r = d(y)
             o_g, f_g = d(y_hat)
             outs_r.append(o_r); outs_g.append(o_g)

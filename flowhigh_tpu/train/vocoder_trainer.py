@@ -150,17 +150,86 @@ class VocoderTrainer:
         b = shard_batch(self.mesh, {"wave": wav, "mel": np.asarray(mel)})
         return self._step_fn(state, b["wave"], b["mel"])
 
+    # -- checkpointing ----------------------------------------------------------
+
+    def latest_checkpoint(self) -> Optional[Path]:
+        """Newest orbax checkpoint dir in the results folder (by step)."""
+        cands = sorted(self.results_folder.glob("orbax_*"),
+                       key=lambda p: int(p.name.split("_")[-1]))
+        return cands[-1] if cands else None
+
+    def save(self, state: VocoderTrainState, folder: Optional[Path] = None):
+        """orbax full GAN state (G + D params, both optimizer states, step)
+        for bit-identical resume, plus the reference's ``g_{step:08d}``
+        torch package ``{'generator': ...}`` in weight-normed layout
+        (reference: bigvgan/utils.py:57-64 save_checkpoint,
+        init_vocoder.py:14-17 load)."""
+        folder = Path(folder or self.results_folder)
+        folder.mkdir(parents=True, exist_ok=True)
+        step = int(state.step)
+
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save((folder / f"orbax_{step}").absolute(), jax.device_get({
+                "gen_params": state.gen_params,
+                "mpd_params": state.mpd_params,
+                "mrd_params": state.mrd_params,
+                "gen_opt": state.gen_opt, "disc_opt": state.disc_opt,
+                "step": step}))
+
+        import torch
+
+        from ..compat.torch_ckpt import vocoder_params_to_torch_state
+        torch.save({"generator": vocoder_params_to_torch_state(
+            jax.device_get(state.gen_params), self.voc_cfg)},
+            folder / f"g_{step:08d}")
+
+    def restore_state(self, path, template: VocoderTrainState) -> VocoderTrainState:
+        """Restore the FULL GAN training state from an orbax dir.
+        ``template`` (a fresh init_state) supplies the pytree structure."""
+        import orbax.checkpoint as ocp
+        tpl = jax.device_get({
+            "gen_params": template.gen_params,
+            "mpd_params": template.mpd_params,
+            "mrd_params": template.mrd_params,
+            "gen_opt": template.gen_opt, "disc_opt": template.disc_opt,
+            "step": int(template.step)})
+        with ocp.StandardCheckpointer() as ckptr:
+            r = ckptr.restore(Path(path).absolute(), tpl)
+        state = template.replace(
+            step=jnp.asarray(r["step"], jnp.int32),
+            gen_params=r["gen_params"], mpd_params=r["mpd_params"],
+            mrd_params=r["mrd_params"], gen_opt=r["gen_opt"],
+            disc_opt=r["disc_opt"])
+        rep = replicated_sharding(self.mesh)
+        return jax.device_put(state, jax.tree.map(lambda _: rep, state))
+
+    # -- loop -------------------------------------------------------------------
+
     def fit(self, data_iter: Iterator[dict], state: Optional[VocoderTrainState] = None,
-            num_steps: int = 1000, log_every: int = 10, log_fn=print):
+            num_steps: int = 1000, log_every: int = 10, log_fn=print,
+            save_every: int = 0, auto_resume: bool = False):
+        """``save_every > 0`` checkpoints into ``results_folder`` (orbax full
+        state + reference ``g_{step}`` package); ``auto_resume`` restarts
+        from the newest checkpoint there — preemption-safe GAN training,
+        mirroring the CFM Trainer."""
         if state is None:
             state = self.init_state(jax.random.PRNGKey(0))
+            if auto_resume:
+                ckpt = self.latest_checkpoint()
+                if ckpt is not None:
+                    log_fn(f"[vocoder] auto-resuming from {ckpt}")
+                    state = self.restore_state(ckpt, state)
         t0 = time.time()
-        for i in range(int(state.step), num_steps):
+        start = int(state.step)
+        for i in range(start, num_steps):
             state, m = self.train_step(state, next(data_iter))
             if (i + 1) % log_every == 0:
                 log_fn(f"[vocoder] step {i+1} "
                        f"disc={float(m['disc_loss']):.3f} "
                        f"gen={float(m['gen_loss']):.3f} "
                        f"mel_l1={float(m['mel_l1']):.3f} "
-                       f"({(i+1)/(time.time()-t0):.2f} it/s)")
+                       f"({(i+1-start)/(time.time()-t0):.2f} it/s)")
+            if save_every and (i + 1) % save_every == 0:
+                self.save(state)
         return state

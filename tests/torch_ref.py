@@ -375,3 +375,94 @@ def torch_state_dict_weight_normed(model):
               .replace("parametrizations.weight.original1", "weight_v"))
         sd[k] = v
     return sd
+
+
+# --- discriminators (MPD/MRD, weight-normed, reference state-dict layout) -----
+
+class TorchDiscP(nn.Module):
+    def __init__(self, period, d_mult=1, k=5, stride=3):
+        super().__init__()
+        self.period = period
+        cs = [int(32 * d_mult), int(128 * d_mult), int(512 * d_mult),
+              int(1024 * d_mult)]
+        seq, cin = [], 1
+        for c in cs:
+            seq.append(wn(nn.Conv2d(cin, c, (k, 1), (stride, 1),
+                                    padding=((k - 1) // 2, 0))))
+            cin = c
+        seq.append(wn(nn.Conv2d(cin, cin, (k, 1), 1, padding=(2, 0))))
+        self.convs = nn.ModuleList(seq)
+        self.conv_post = wn(nn.Conv2d(cin, 1, (3, 1), 1, padding=(1, 0)))
+
+    def forward(self, x):  # [B, 1, T]
+        b, c, t = x.shape
+        if t % self.period:
+            x = F.pad(x, (0, self.period - t % self.period), "reflect")
+            t = x.shape[-1]
+        h = x.view(b, c, t // self.period, self.period)
+        fmap = []
+        for l in self.convs:
+            h = F.leaky_relu(l(h), 0.1)
+            fmap.append(h)
+        h = self.conv_post(h)
+        fmap.append(h)
+        return torch.flatten(h, 1, -1), fmap
+
+
+class TorchMPD(nn.Module):
+    def __init__(self, periods=(2, 3, 5, 7, 11), d_mult=1):
+        super().__init__()
+        self.discriminators = nn.ModuleList(
+            [TorchDiscP(p, d_mult) for p in periods])
+
+    def forward(self, y, y_hat):
+        rs, gs, fr, fg = [], [], [], []
+        for d in self.discriminators:
+            o, f = d(y); rs.append(o); fr.append(f)
+            o, f = d(y_hat); gs.append(o); fg.append(f)
+        return rs, gs, fr, fg
+
+
+class TorchDiscR(nn.Module):
+    def __init__(self, resolution, d_mult=1):
+        super().__init__()
+        self.resolution = resolution
+        c = int(32 * d_mult)
+        self.convs = nn.ModuleList([
+            wn(nn.Conv2d(1, c, (3, 9), padding=(1, 4))),
+            wn(nn.Conv2d(c, c, (3, 9), (1, 2), padding=(1, 4))),
+            wn(nn.Conv2d(c, c, (3, 9), (1, 2), padding=(1, 4))),
+            wn(nn.Conv2d(c, c, (3, 9), (1, 2), padding=(1, 4))),
+            wn(nn.Conv2d(c, c, (3, 3), padding=(1, 1))),
+        ])
+        self.conv_post = wn(nn.Conv2d(c, 1, (3, 3), padding=(1, 1)))
+
+    def forward(self, x):  # [B, T]
+        n_fft, hop, win = self.resolution
+        s = F.pad(x, ((n_fft - hop) // 2, (n_fft - hop) // 2), "reflect")
+        # rectangular window: torch.stft default when window is None
+        spec = torch.stft(s, n_fft=n_fft, hop_length=hop, win_length=win,
+                          center=False, return_complex=True)
+        h = torch.abs(spec).unsqueeze(1)  # [B, 1, bins, frames]
+        fmap = []
+        for l in self.convs:
+            h = F.leaky_relu(l(h), 0.1)
+            fmap.append(h)
+        h = self.conv_post(h)
+        fmap.append(h)
+        return torch.flatten(h, 1, -1), fmap
+
+
+class TorchMRD(nn.Module):
+    def __init__(self, resolutions=((1024, 120, 600), (2048, 240, 1200),
+                                    (512, 50, 240)), d_mult=1):
+        super().__init__()
+        self.discriminators = nn.ModuleList(
+            [TorchDiscR(r, d_mult) for r in resolutions])
+
+    def forward(self, y, y_hat):
+        rs, gs, fr, fg = [], [], [], []
+        for d in self.discriminators:
+            o, f = d(y); rs.append(o); fr.append(f)
+            o, f = d(y_hat); gs.append(o); fg.append(f)
+        return rs, gs, fr, fg
