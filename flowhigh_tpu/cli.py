@@ -72,9 +72,17 @@ def cmd_train(args) -> int:
     import jax
 
     from .config import FlowHighConfig
-    from .parallel import make_mesh
+    from .parallel import initialize, make_global_mesh, make_mesh
     from .train import (AudioDataset, SyntheticAudioDataset, Trainer,
                         batch_iterator, random_split)
+
+    # multi-host entry: joins the jax coordination service when launched on a
+    # pod / with JAX_COORDINATOR_ADDRESS etc. set; no-op single-process
+    # (the reference's `accelerate launch` analog, ref trainer.py:97-102)
+    proc_idx, proc_cnt = initialize()
+    if proc_cnt > 1:
+        print(f"[train] multi-host: process {proc_idx}/{proc_cnt}, "
+              f"{len(jax.devices())} global devices")
 
     cfg = (FlowHighConfig.from_reference_json(args.config)
            if args.config else FlowHighConfig())
@@ -99,7 +107,10 @@ def cmd_train(args) -> int:
         print(f"[train] {len(train_ds)} train / {len(valid_ds)} valid "
               f"(random_split seed {cfg.train.random_split_seed})")
 
-    mesh = make_mesh(n_model=args.tp) if args.tp > 1 else make_mesh()
+    if proc_cnt > 1:
+        mesh = make_global_mesh(n_model=args.tp)
+    else:
+        mesh = make_mesh(n_model=args.tp) if args.tp > 1 else make_mesh()
     trainer = Trainer(cfg, mesh=mesh, cfm_method=cfg.cfm.cfm_method,
                       results_folder=args.save_dir or cfg.train.save_dir)
     # model summary at startup (reference: train.py:75 torchinfo.summary);
@@ -115,7 +126,13 @@ def cmd_train(args) -> int:
     # device_prefetch: uploads overlap the running step (a synchronous
     # batch-32 upload measured 3.6 s/step through the tunnel, PERF.md)
     data = batch_iterator(train_ds, cfg.train.batch_size, pad_to=pad_to,
-                          device_prefetch=True)
+                          device_prefetch=proc_cnt == 1,
+                          process_index=proc_idx, process_count=proc_cnt)
+    if proc_cnt > 1:
+        # local shards -> one global batch-sharded jax.Array per step
+        from .parallel import shard_global_batch
+        base = data
+        data = (shard_global_batch(mesh, b) for b in base)
     valid_iter = batch_iterator(valid_ds, min(cfg.train.batch_size,
                                               max(1, len(valid_ds))),
                                 pad_to=pad_to, num_workers=1)

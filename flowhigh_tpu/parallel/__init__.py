@@ -1,3 +1,9 @@
+from .distributed import (
+    initialize,
+    local_batch_slice,
+    make_global_mesh,
+    shard_global_batch,
+)
 from .mesh import (
     make_mesh,
     batch_sharding,
@@ -8,5 +14,6 @@ from .mesh import (
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated_sharding", "param_shardings",
-    "shard_batch",
+    "shard_batch", "initialize", "make_global_mesh", "local_batch_slice",
+    "shard_global_batch",
 ]

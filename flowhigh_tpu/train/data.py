@@ -137,6 +137,7 @@ def collate(items: list[dict], pad_to_longest: bool = True) -> dict:
 def batch_iterator(
     ds, batch_size: int, seed: int = 0, pad_to: Optional[int] = None,
     num_workers: int = 2, prefetch: int = 4, device_prefetch: bool = False,
+    process_index: int = 0, process_count: int = 1,
 ) -> Iterator[dict]:
     """Infinite shuffled batches with threaded host-side prefetch.
 
@@ -147,10 +148,26 @@ def batch_iterator(
     prefetch threads, so the host->device copy overlaps the previous train
     step instead of serializing inside it — on a tunneled TPU the synchronous
     upload of a batch-32 3 s batch (74 MB) otherwise dominates the step.
+
+    ``process_index``/``process_count``: multi-host data sharding (the
+    reference's DistributedSampler analog, via Accelerate's prepared
+    dataloader). ``batch_size`` is the GLOBAL batch; every process draws the
+    SAME global index sample (shared seed) and keeps only its own
+    ``batch_size/process_count`` rows — disjoint, statically-shaped local
+    shards that ``parallel.shard_global_batch`` reassembles into one global
+    array. Pass ``jax.process_index()/process_count()`` after
+    ``parallel.initialize()``.
     """
+    assert batch_size % max(process_count, 1) == 0, (
+        f"global batch {batch_size} must divide over {process_count} processes")
+    rows = slice((batch_size // process_count) * process_index,
+                 (batch_size // process_count) * (process_index + 1))
+
     def make_batch(rng: np.random.Generator) -> dict:
+        # the full global draw, identical on every process (same seed), so
+        # the per-process row slices are disjoint by construction
         idx = rng.choice(len(ds), size=batch_size, replace=len(ds) < batch_size)
-        items = [ds[int(i)] for i in idx]
+        items = [ds[int(i)] for i in idx[rows]]
         if pad_to is not None:
             for it in items:
                 n = len(it["wave"])
@@ -174,9 +191,17 @@ def batch_iterator(
         rng = np.random.default_rng(seed * 7919 + wid)  # per-thread generator
         while not stop.is_set():
             try:
-                q.put(make_batch(rng), timeout=1.0)
-            except queue.Full:
-                continue
+                batch = make_batch(rng)
+            except Exception as e:  # surface in the consumer, don't hang it
+                batch = e
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
+            if isinstance(batch, Exception):
+                return
 
     threads = [threading.Thread(target=worker, args=(i,), daemon=True)
                for i in range(max(1, num_workers))]
@@ -184,7 +209,10 @@ def batch_iterator(
         th.start()
     try:
         while True:
-            yield q.get()
+            item = q.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item
     finally:
         stop.set()
 

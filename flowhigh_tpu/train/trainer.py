@@ -287,12 +287,19 @@ class Trainer:
 
         import orbax.checkpoint as ocp
         path = (folder / f"orbax_{step}").absolute()
+        tree = {"params": state.params, "opt_state": state.opt_state,
+                "rng": state.rng, "step": step}
+        multihost = jax.process_count() > 1
+        if not multihost:
+            tree = jax.device_get(tree)  # single process: plain numpy save
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, jax.device_get(
-                {"params": state.params, "opt_state": state.opt_state,
-                 "rng": state.rng, "step": step}))
+            # multihost: every process calls save with the sharded jax.Arrays
+            # and orbax coordinates the write (process 0 owns the metadata)
+            ckptr.save(path, tree)
 
-        self.export_torch(state, folder / f"FLowHigh.{self._updates(state)}.pt")
+        if jax.process_index() == 0:
+            self.export_torch(state,
+                              folder / f"FLowHigh.{self._updates(state)}.pt")
 
     def restore_state(self, path, template: TrainState) -> TrainState:
         """Restore the FULL training state (params + optimizer moments + rng
@@ -302,9 +309,17 @@ class Trainer:
         Falls back to params-only for round-1-era checkpoints."""
         import orbax.checkpoint as ocp
         path = Path(path)
-        tpl = jax.device_get({"params": template.params,
-                              "opt_state": template.opt_state,
-                              "rng": template.rng, "step": int(template.step)})
+        if jax.process_count() > 1:
+            # multihost: hand orbax the sharded template arrays so every
+            # process restores exactly its addressable shards
+            tpl = {"params": template.params,
+                   "opt_state": template.opt_state,
+                   "rng": template.rng, "step": int(template.step)}
+        else:
+            tpl = jax.device_get({"params": template.params,
+                                  "opt_state": template.opt_state,
+                                  "rng": template.rng,
+                                  "step": int(template.step)})
         with ocp.StandardCheckpointer() as ckptr:
             try:
                 r = ckptr.restore(path.absolute(), tpl)

@@ -1,0 +1,125 @@
+"""Multi-host entry point: single-process-testable logic (mesh build, shard
+math, disjoint per-process data slicing). True pod behavior (coordinator
+rendezvous, DCN collectives, coordinated orbax writes) cannot run in one
+process — see flowhigh_tpu/parallel/distributed.py docstring."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flowhigh_tpu.parallel import (initialize, local_batch_slice,
+                                   make_global_mesh, shard_global_batch)
+
+
+class TestInitialize:
+    def test_single_process_noop(self):
+        pi, pc = initialize()
+        assert (pi, pc) == (0, 1)
+        # idempotent
+        assert initialize() == (0, 1)
+
+
+class TestGlobalMesh:
+    def test_default_spans_all_devices(self):
+        mesh = make_global_mesh()
+        assert dict(mesh.shape) == {"data": jax.device_count(), "model": 1}
+
+    def test_dp_tp_split(self):
+        mesh = make_global_mesh(n_model=2)
+        assert dict(mesh.shape) == {"data": jax.device_count() // 2, "model": 2}
+
+    def test_train_step_runs_on_global_mesh(self):
+        from flowhigh_tpu.config import (FlowHighConfig, ModelConfig,
+                                         TrainConfig)
+        from flowhigh_tpu.train import Trainer
+        mesh = make_global_mesh(n_data=4, n_model=2)
+        cfg = FlowHighConfig().replace(
+            model=ModelConfig(dim_in=256, dim=64, depth=2, heads=2, dim_head=16),
+            train=TrainConfig(batch_size=4, num_warmup_steps=0))
+        tr = Trainer(cfg, mesh=mesh, cfm_method="independent_cfm_adaptive")
+        state = tr.init_state(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        batch = {"wave": rng.standard_normal((4, 14400)).astype(np.float32),
+                 "cond": rng.standard_normal((4, 14400)).astype(np.float32),
+                 "lengths": np.full((4,), 14400, np.int32)}
+        _, m = tr.train_step(state, batch)
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestShardMath:
+    def test_local_batch_slice(self):
+        assert local_batch_slice(32, 0, 4) == slice(0, 8)
+        assert local_batch_slice(32, 3, 4) == slice(24, 32)
+        with pytest.raises(AssertionError):
+            local_batch_slice(10, 0, 4)
+
+    def test_shard_global_batch_single_process(self):
+        mesh = make_global_mesh(n_data=8)
+        x = np.arange(16, dtype=np.float32).reshape(8, 2)
+        out = shard_global_batch(mesh, {"x": x})
+        np.testing.assert_array_equal(np.asarray(out["x"]), x)
+        assert len(out["x"].sharding.device_set) == 8
+
+
+class TestPerProcessData:
+    """batch_iterator's process sharding: every process draws the same
+    global shuffle and keeps a disjoint slice — union == the full batch."""
+
+    def _ds(self):
+        # deterministic dataset whose items encode their own index
+        class DS:
+            def __len__(self):
+                return 64
+
+            def __getitem__(self, i):
+                w = np.full(100, float(i), np.float32)
+                return {"wave": w, "cond": w, "length": 100,
+                        "random_sr": 16000}
+        return DS()
+
+    def test_disjoint_and_complete(self):
+        from flowhigh_tpu.train import batch_iterator
+        ds = self._ds()
+        full = batch_iterator(ds, 8, seed=3, num_workers=1)
+        p0 = batch_iterator(ds, 8, seed=3, num_workers=1,
+                            process_index=0, process_count=2)
+        p1 = batch_iterator(ds, 8, seed=3, num_workers=1,
+                            process_index=1, process_count=2)
+        bf, b0, b1 = next(full), next(p0), next(p1)
+        full.close(); p0.close(); p1.close()
+        assert b0["wave"].shape[0] == b1["wave"].shape[0] == 4
+        ids_f = bf["wave"][:, 0].tolist()
+        ids_0 = b0["wave"][:, 0].tolist()
+        ids_1 = b1["wave"][:, 0].tolist()
+        # same global draw, disjoint halves, in order
+        assert ids_0 + ids_1 == ids_f
+
+    def test_indivisible_batch_rejected(self):
+        from flowhigh_tpu.train import batch_iterator
+        with pytest.raises(AssertionError):
+            # generator body (and its assert) runs on first next()
+            next(batch_iterator(self._ds(), 9, process_index=0,
+                                process_count=2))
+
+
+class TestMultihostSaveSeam:
+    def test_single_process_save_unchanged(self, tmp_path):
+        """jax.process_count()==1 keeps the plain numpy orbax save + torch
+        export (the multihost branch is pod-only)."""
+        from flowhigh_tpu.config import (FlowHighConfig, ModelConfig,
+                                         TrainConfig)
+        from flowhigh_tpu.train import Trainer
+        cfg = FlowHighConfig().replace(
+            model=ModelConfig(dim_in=8, dim=16, depth=1, heads=2, dim_head=4),
+            train=TrainConfig(batch_size=2, num_warmup_steps=0))
+        tr = Trainer(cfg, results_folder=str(tmp_path))
+        state = tr.init_state(jax.random.PRNGKey(0))
+        tr.save(state)
+        assert (tmp_path / "orbax_0").exists()
+        assert (tmp_path / "FLowHigh.0.pt").exists()
+        restored = tr.restore_state(tmp_path / "orbax_0", state)
+        for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                        jax.tree.leaves(jax.device_get(restored.params))):
+            np.testing.assert_array_equal(a, b)
