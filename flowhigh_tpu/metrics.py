@@ -72,6 +72,29 @@ def mel_l1(ref_mel: jax.Array, est_mel: jax.Array) -> jax.Array:
     return jnp.mean(jnp.abs(ref_mel - est_mel))
 
 
+def boundary_lsd(ref, est, boundaries, window: int = 24000,
+                 n_fft: int = 2048, hop_length: int = 480) -> float:
+    """LSD restricted to +-``window`` samples around each chunk boundary —
+    the seam-quality metric for chunked long-form inference. ``ref`` is the
+    single-pass (no-seam) output, ``est`` the stitched one; ``boundaries``
+    are sample indices where ``est``'s chunks meet. Returns the mean LSD
+    (dB) over the boundary windows, i.e. exactly the region where
+    independent-chunk priors and waveform crossfades can leave artifacts."""
+    import numpy as np
+    ref = np.asarray(ref).reshape(-1)
+    est = np.asarray(est).reshape(-1)
+    t = min(len(ref), len(est))
+    vals = []
+    for b in boundaries:
+        lo, hi = max(0, int(b) - window), min(t, int(b) + window)
+        if hi - lo < n_fft:
+            continue
+        vals.append(float(log_spectral_distance(
+            jnp.asarray(ref[None, lo:hi]), jnp.asarray(est[None, lo:hi]),
+            n_fft, hop_length)[0]))
+    return float(np.mean(vals)) if vals else 0.0
+
+
 class RTFTimer:
     """Wall-clock real-time-factor measurement with device sync."""
 

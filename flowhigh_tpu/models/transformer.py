@@ -111,6 +111,12 @@ class MultiheadRMSNorm(nn.Module):
         return y.astype(x.dtype)
 
 
+# CI hook: run the Pallas flash kernel in TPU-interpret mode on non-TPU
+# backends (tests/test_transformer_features.py) so the kernel itself — not
+# just its einsum fallback — has automated coverage.
+FLASH_INTERPRET = False
+
+
 def _flash_attention(q, k, v, mask, scale):
     """Blockwise (flash) attention via the Pallas TPU kernel — O(N) memory,
     for long-form single-pass inference (the reference's ``attn_flash``
@@ -139,10 +145,20 @@ def _flash_attention(q, k, v, mask, scale):
     ids = mask.astype(jnp.int32)  # pads = segment 0: attend only each other
     sizes = fa.BlockSizes(block_q=blk, block_k_major=blk, block_k=blk,
                           block_b=1)
-    out = fa.flash_attention(
-        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
-        segment_ids=fa.SegmentIds(q=ids, kv=ids), sm_scale=float(scale),
-        block_sizes=sizes)
+
+    def run():
+        return fa.flash_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32),
+            segment_ids=fa.SegmentIds(q=ids, kv=ids), sm_scale=float(scale),
+            block_sizes=sizes)
+
+    if FLASH_INTERPRET and jax.default_backend() != "tpu":
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            out = run()
+    else:
+        out = run()
     return out[:, :, :n, :]
 
 
@@ -186,7 +202,7 @@ class Attention(nn.Module):
 
         flash_ok = (self.use_flash
                     and (self.dropout == 0.0 or deterministic)
-                    and jax.default_backend() == "tpu")
+                    and (jax.default_backend() == "tpu" or FLASH_INTERPRET))
         if flash_ok:
             out = _flash_attention(q, k, v, mask, scale).astype(self.dtype)
         else:

@@ -278,11 +278,15 @@ class FlowHighSR:
             params, vocoder_params, audio, n_valid, rng, in_sr, target_sr,
             time_steps, cfm_method, ode_method, std_1, std_2)
 
-    def _generate_impl(
-        self, params, vocoder_params, audio, n_valid, rng,
+    def _prep_and_solve(
+        self, params, audio, n_valid, rng,
         in_sr: int, target_sr: int, time_steps: int, cfm_method: str,
         ode_method: str, std_1: float, std_2: float,
     ):
+        """Upsample + peak-norm + mel encode + cutoff + prior + ODE solve —
+        the mel-domain half of the pipeline, shared by the single-program
+        generate and the long-form single-pass mode. Returns
+        (sampled mel [B, F, M], cond wav [B, T48], n_valid48 [B], stats)."""
         hop = self.config.mel.hop_length
         design = "soxr_hq" if self.upsampling_method == "librosa" else "scipy"
         cond = resample_poly(audio, target_sr, in_sr, design)  # [B, T48_pad]
@@ -318,15 +322,28 @@ class FlowHighSR:
                 ode_fn, y0, self.ode_atol, self.ode_rtol, return_stats=True)
         else:
             sampled = odeint_fixed(ode_fn, y0, time_steps, ode_method)
-        hr = self.melvoco.vocoder.apply(vocoder_params, sampled)  # [1, F*hop]
+        return sampled, cond, n_valid48, stats
 
-        # length-align vocoded audio with the upsampled source
-        t_out = min(hr.shape[-1], t48)
+    def _generate_impl(
+        self, params, vocoder_params, audio, n_valid, rng,
+        in_sr: int, target_sr: int, time_steps: int, cfm_method: str,
+        ode_method: str, std_1: float, std_2: float,
+    ):
+        sampled, cond, n_valid48, stats = self._prep_and_solve(
+            params, audio, n_valid, rng, in_sr, target_sr, time_steps,
+            cfm_method, ode_method, std_1, std_2)
+        hr = self.melvoco.vocoder.apply(vocoder_params, sampled)  # [1, F*hop]
+        out = self._align_and_splice(hr, cond, n_valid48)
+        return out, n_valid48, stats
+
+    def _align_and_splice(self, hr, cond, n_valid48):
+        """Length-align vocoded audio with the upsampled source, zero the
+        padding, and run the spectral low-band splice."""
+        t_out = min(hr.shape[-1], cond.shape[-1])
         hr = jnp.where(jnp.arange(t_out)[None, :] < n_valid48[:, None],
                        hr[..., :t_out], 0.0)
         src = cond[..., :t_out]
-        out = post_process(hr, src, t_out)
-        return out, n_valid48, stats
+        return post_process(hr, src, t_out)
 
     def generate(
         self,
@@ -361,6 +378,109 @@ class FlowHighSR:
         _warn_if_unconverged(stats)
         n48 = int(n48[0])
         return np.asarray(out)[:, :n48]
+
+    # -- long-form single-pass mode --------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "in_sr", "target_sr", "time_steps", "cfm_method", "ode_method",
+        "std_1", "std_2"))
+    def _mel_solve_jit(self, params, audio, n_valid, rng,
+                       in_sr: int, target_sr: int, time_steps: int,
+                       cfm_method: str, ode_method: str,
+                       std_1: float, std_2: float):
+        return self._prep_and_solve(
+            params, audio, n_valid, rng, in_sr, target_sr, time_steps,
+            cfm_method, ode_method, std_1, std_2)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _splice_jit(self, hr, cond, n_valid48):
+        return self._align_and_splice(hr, cond, n_valid48)
+
+    def vocode_chunked(self, mel, chunk_frames: int = 1000,
+                       overlap_frames: int = 32) -> np.ndarray:
+        """BIT-EXACT chunked BigVGAN decode: [B, F, M] mel -> [B, ~F*hop] wav.
+
+        Every chunk program sees a fixed-size window of REAL mel frames
+        (``chunk + 2*overlap``; at the clip edges the window shifts inward
+        instead of zero-padding), so ONE compiled program serves all chunks
+        and the stitched output equals the single-program vocode exactly:
+        output sample s depends only on mel frames within the generator's
+        receptive field of s/hop (BigVGAN is a pure conv stack, frame/sample
+        alignment verified at offset 0 in tests/test_metrics_streaming.py),
+        and 32 frames = 15360 samples of context dwarf that field. Chunks
+        are dispatched asynchronously and fetched in order. Only the
+        trailing ``L - F*hop`` transposed-conv tail samples of the LAST
+        window are kept, matching the full program's arithmetic."""
+        hop = self.config.mel.hop_length
+        f = int(mel.shape[1])
+        f_prog = chunk_frames + 2 * overlap_frames
+        voc_apply = self.melvoco.vocoder.apply
+        if f <= f_prog:
+            return np.asarray(voc_apply(self.melvoco.vocoder_params, mel))
+        mel = jnp.asarray(mel)
+
+        pending = []  # (device out, out-slice start, n samples) per chunk
+        for c0 in range(0, f, chunk_frames):
+            c1 = min(c0 + chunk_frames, f)
+            lo = max(0, min(c0 - overlap_frames, f - f_prog))
+            seg = jax.lax.dynamic_slice_in_dim(mel, lo, f_prog, axis=1)
+            out = voc_apply(self.melvoco.vocoder_params, seg)  # async
+            n = (c1 - c0) * hop
+            if c1 == f:  # keep the final transposed-conv tail
+                n = out.shape[-1] - (c0 - lo) * hop
+            pending.append((out, (c0 - lo) * hop, n))
+        parts = [np.asarray(o)[:, off: off + n] for o, off, n in pending]
+        return np.concatenate(parts, axis=1)
+
+    def generate_longform(
+        self,
+        audio: np.ndarray,
+        sr: int,
+        target_sampling_rate: int = 48000,
+        timestep: int = 1,
+        seed: int = 0,
+        vocoder_chunk_frames: int = 1000,
+        vocoder_overlap_frames: int = 32,
+    ) -> np.ndarray:
+        """Single-pass long-form inference: the vector field sees the FULL
+        clip in one program — no CFM chunk seams at all — and only the
+        vocoder runs chunked (bit-exactly, see vocode_chunked), because its
+        HBM appetite is the one reason to chunk; the spectral splice then
+        runs over the whole waveform.
+
+        Construct the model with ``ModelConfig(attn_flash=True)`` on TPU so
+        the full-context attention runs the O(N)-memory blockwise Pallas
+        kernel (a 30k-frame 5-min mel solved in 196 ms measured, PERF.md;
+        dense scores would be 57 GB). Off-TPU, or with the flag off,
+        attention falls back to the dense einsum — same semantics, quadratic
+        memory. Contrast with ``StreamingSR`` (independent 10 s chunks +
+        waveform crossfade): this mode has no boundary artifacts and
+        reproduces ``generate()`` exactly on clips both can run
+        (tests/test_metrics_streaming.py::TestLongform)."""
+        audio = np.asarray(audio)
+        if audio.ndim == 2:
+            audio = audio[0]
+        if np.abs(audio).max() > 1:
+            audio = audio / 32768.0
+
+        n = len(audio)
+        in_bucket = BUCKET_SAMPLES * sr // target_sampling_rate
+        n_pad = max(in_bucket, math.ceil(n / in_bucket) * in_bucket)
+        padded = np.zeros(n_pad, dtype=np.float32)
+        padded[:n] = audio
+
+        std_1, std_2 = self._default_stds()
+        sampled, cond, n48, stats = self._mel_solve_jit(
+            self.params, jnp.asarray(padded)[None, :], jnp.asarray(n),
+            jax.random.PRNGKey(seed), int(sr), int(target_sampling_rate),
+            int(timestep), self.cfm_method, self.ode_method,
+            float(std_1), float(std_2))
+        _warn_if_unconverged(stats)
+
+        hr = self.vocode_chunked(sampled, vocoder_chunk_frames,
+                                 vocoder_overlap_frames)
+        out = self._splice_jit(jnp.asarray(hr), cond, n48)
+        return np.asarray(out)[:, : int(n48[0])]
 
     def make_sharded_generate(self, mesh, in_sr: int,
                               target_sampling_rate: int = 48000,

@@ -7,6 +7,13 @@ Here long audio is processed in fixed-size chunks (one compiled XLA program,
 reused for every chunk), each chunk runs the full pipeline including the
 spectral low-band splice, and chunks are stitched with an equal-power
 crossfade over the overlap region.
+
+Alternative: ``FlowHighSR.generate_longform`` — the single-pass mode: the
+CFM solves over the FULL clip in one program (O(N)-memory flash attention
+with ``ModelConfig(attn_flash=True)`` on TPU), only the vocoder chunks
+(bit-exactly), so there are no CFM seams at all. StreamingSR remains the
+constant-memory/latency-pipelined serving path; seam quality of the two is
+compared by tests/test_metrics_streaming.py::TestLongform.
 """
 
 from __future__ import annotations

@@ -74,6 +74,60 @@ class TestStreaming:
         np.testing.assert_array_equal(direct, chunked)
 
 
+class TestLongform:
+    """Single-pass long-form mode (VERDICT r2 item 2): full-context CFM in
+    one program, bit-exact chunked vocoder, whole-clip splice."""
+
+    def test_chunked_vocode_bit_exact(self, tiny_model, rng):
+        mel = jnp.asarray(rng.standard_normal((1, 64, 256)).astype(np.float32))
+        full = np.asarray(tiny_model.melvoco.vocoder.apply(
+            tiny_model.melvoco.vocoder_params, mel))
+        chunked = tiny_model.vocode_chunked(mel, chunk_frames=16,
+                                            overlap_frames=8)
+        assert chunked.shape == full.shape
+        np.testing.assert_allclose(chunked, full, atol=1e-5)
+
+    def test_longform_matches_generate(self, tiny_model, rng):
+        """On a clip generate() can run whole, generate_longform must
+        reproduce it — the only difference is the (bit-exact) vocoder
+        chunking, so any deviation is a seam bug."""
+        audio = (rng.standard_normal(16000 * 4) * 0.3).astype(np.float32)
+        whole = tiny_model.generate(audio, 16000, timestep=1, seed=5)
+        lf = tiny_model.generate_longform(audio, 16000, timestep=1, seed=5,
+                                          vocoder_chunk_frames=96,
+                                          vocoder_overlap_frames=32)
+        assert lf.shape == whole.shape
+        np.testing.assert_allclose(lf, whole, atol=2e-4)
+
+    def test_streaming_seam_lsd(self, tiny_model, rng):
+        """VERDICT r2 weak #4: measure boundary-window LSD of StreamingSR's
+        crossfaded chunks against the single-pass output and pin a bound.
+        (Chunks draw independent runs of the pipeline, so seams are where
+        streaming can deviate; the single-pass mode has none.)"""
+        from flowhigh_tpu.metrics import boundary_lsd, log_spectral_distance
+        from flowhigh_tpu.streaming import StreamingSR
+
+        sr_in = 16000
+        audio = (rng.standard_normal(sr_in * 5) * 0.3).astype(np.float32)
+        single = tiny_model.generate_longform(
+            audio, sr_in, timestep=1, seed=0,
+            vocoder_chunk_frames=128, vocoder_overlap_frames=32)
+        s = StreamingSR(tiny_model, chunk_seconds=2.0, overlap_seconds=0.5)
+        streamed = s.generate(audio, sr_in, timestep=1, seed=0)
+        assert streamed.shape == single.shape
+
+        hop_in = int(2.0 * sr_in) - int(0.5 * sr_in)
+        n_chunks = 1 + int(np.ceil((len(audio) - 2.0 * sr_in) / hop_in))
+        boundaries = [c * hop_in * 3 for c in range(1, n_chunks)]
+        seam = boundary_lsd(single, streamed, boundaries, window=24000)
+        # whole-clip LSD for context: seams should not be categorically
+        # worse than the overall chunking difference
+        overall = float(log_spectral_distance(
+            jnp.asarray(single), jnp.asarray(streamed))[0])
+        assert seam < max(2.0, 2.5 * overall), (seam, overall)
+        assert np.isfinite(seam) and np.isfinite(overall)
+
+
 class TestCLI:
     def test_infer_smoke(self, tmp_path, rng):
         # smoke mode (tiny random weights) exercises the whole infer path
