@@ -134,10 +134,23 @@ def collate(items: list[dict], pad_to_longest: bool = True) -> dict:
     }
 
 
+_POOL_DS = None  # per-worker-process dataset (set once by _pool_init)
+
+
+def _pool_init(ds):
+    global _POOL_DS
+    _POOL_DS = ds
+
+
+def _pool_item(i: int) -> dict:
+    return _POOL_DS[i]
+
+
 def batch_iterator(
     ds, batch_size: int, seed: int = 0, pad_to: Optional[int] = None,
     num_workers: int = 2, prefetch: int = 4, device_prefetch: bool = False,
     process_index: int = 0, process_count: int = 1,
+    worker_type: str = "thread",
 ) -> Iterator[dict]:
     """Infinite shuffled batches with threaded host-side prefetch.
 
@@ -157,17 +170,46 @@ def batch_iterator(
     shards that ``parallel.shard_global_batch`` reassembles into one global
     array. Pass ``jax.process_index()/process_count()`` after
     ``parallel.initialize()``.
+
+    ``worker_type``: ``"thread"`` (default) or ``"process"``. The
+    degradation is scipy C code that mostly releases the GIL, so threads
+    scale to ~480 clips/s on this host (scripts/bench_data.py) — just short
+    of the 528 clips/s device rate at batch 32. ``"process"`` farms item
+    degradation to a spawn-context worker pool (the reference's 8 dataloader
+    processes, reference data.py:169-171); the dataset must be picklable
+    (AudioDataset/SyntheticAudioDataset are).
     """
     assert batch_size % max(process_count, 1) == 0, (
         f"global batch {batch_size} must divide over {process_count} processes")
     rows = slice((batch_size // process_count) * process_index,
                  (batch_size // process_count) * (process_index + 1))
 
+    pool = None
+    if worker_type == "process":
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        pool = ProcessPoolExecutor(
+            max_workers=max(1, num_workers),
+            mp_context=mp.get_context("spawn"),
+            initializer=_pool_init, initargs=(ds,))
+        n_threads = 2  # coordinators: draw indices, collate, device_put
+    elif worker_type == "thread":
+        n_threads = max(1, num_workers)
+    else:
+        raise ValueError(f"worker_type must be 'thread' or 'process', "
+                         f"got {worker_type!r}")
+
     def make_batch(rng: np.random.Generator) -> dict:
         # the full global draw, identical on every process (same seed), so
         # the per-process row slices are disjoint by construction
         idx = rng.choice(len(ds), size=batch_size, replace=len(ds) < batch_size)
-        items = [ds[int(i)] for i in idx[rows]]
+        local = [int(i) for i in idx[rows]]
+        if pool is not None:
+            items = list(pool.map(_pool_item, local,
+                                  chunksize=max(1, len(local) // (
+                                      2 * max(1, num_workers)))))
+        else:
+            items = [ds[i] for i in local]
         if pad_to is not None:
             for it in items:
                 n = len(it["wave"])
@@ -204,7 +246,7 @@ def batch_iterator(
                 return
 
     threads = [threading.Thread(target=worker, args=(i,), daemon=True)
-               for i in range(max(1, num_workers))]
+               for i in range(n_threads)]
     for th in threads:
         th.start()
     try:
@@ -215,6 +257,8 @@ def batch_iterator(
             yield item
     finally:
         stop.set()
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 class Subset:

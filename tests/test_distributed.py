@@ -104,6 +104,29 @@ class TestPerProcessData:
                                 process_count=2))
 
 
+class TestProcessWorkers:
+    def test_process_pool_batch_schema(self):
+        """worker_type='process' (the reference's 8 dataloader processes,
+        data.py:169-171): same batch schema/values as the thread path."""
+        from flowhigh_tpu.config import DataConfig
+        from flowhigh_tpu.train import SyntheticAudioDataset, batch_iterator
+        ds = SyntheticAudioDataset(DataConfig(), n_items=8, seconds=0.2)
+        it = batch_iterator(ds, 4, seed=1, num_workers=2,
+                            worker_type="process")
+        b = next(it)
+        it.close()
+        assert b["wave"].shape[0] == 4 and b["cond"].shape == b["wave"].shape
+        assert b["lengths"].dtype == np.int32
+        assert np.isfinite(b["wave"]).all() and np.isfinite(b["cond"]).all()
+
+    def test_invalid_worker_type(self):
+        from flowhigh_tpu.config import DataConfig
+        from flowhigh_tpu.train import SyntheticAudioDataset, batch_iterator
+        ds = SyntheticAudioDataset(DataConfig(), n_items=4, seconds=0.1)
+        with pytest.raises(ValueError):
+            next(batch_iterator(ds, 2, worker_type="greenlet"))
+
+
 class TestMultihostSaveSeam:
     def test_single_process_save_unchanged(self, tmp_path):
         """jax.process_count()==1 keeps the plain numpy orbax save + torch
