@@ -232,13 +232,15 @@ class AMPBlock1(nn.Module):
     pallas_convs: bool = False  # Pallas MXU conv kernel (serving fast path)
     fuse_act_conv: bool = False  # one kernel per [act -> conv] pair
 
-    def _act_then_conv(self, x, act_name, w, b, pad, dil, residual=None):
+    def _act_then_conv(self, x, act_name, w, b, pad, dil, residual=None,
+                       extra_residuals=None, out_scale: float = 1.0):
         """act -> conv, fused into one Pallas kernel when eligible
         (ops/packed.py:pallas_packed_act_conv1d); falls back to the
         separate act + conv pair otherwise."""
         act = Activation1d(self.channels, self.activation, self.logscale,
                            self.fused, self.packed_p, name=act_name)
-        if self.fuse_act_conv and self.pallas_convs and self.packed_p > 1:
+        if (self.fuse_act_conv and self.pallas_convs and self.packed_p > 1
+                and not extra_residuals):
             from ..ops.packed import act_conv_fusable, pallas_packed_act_conv1d
             k = w.shape[0]
             if act_conv_fusable(k, pad, dil, self.packed_p, self.channels):
@@ -248,16 +250,20 @@ class AMPBlock1(nn.Module):
                     pad=pad, dilation=dil, p=self.packed_p,
                     residual=residual,
                     dot_dtype=self.conv_dtype or jnp.float32)
-        return self._conv(act(x), w, b, pad, dil, residual)
+        return self._conv(act(x), w, b, pad, dil, residual,
+                          extra_residuals, out_scale)
 
-    def _conv(self, xt, w, b, pad, dil, residual=None):
+    def _conv(self, xt, w, b, pad, dil, residual=None, extra_residuals=None,
+              out_scale: float = 1.0):
+        extras = tuple(extra_residuals) if extra_residuals else ()
         if self.pallas_convs:
             from ..ops.packed import pallas_packed_conv1d
             # f32 dots measured as fast as bf16 here (the kernel is HBM
             # bandwidth-bound, not MXU-bound) — default to exact f32
+            res = (() if residual is None else (residual,)) + extras
             return pallas_packed_conv1d(
                 xt, w.astype(self.dtype), b, pad=pad, dilation=dil,
-                p=self.packed_p, residual=residual,
+                p=self.packed_p, residual=res or None, out_scale=out_scale,
                 dot_dtype=self.conv_dtype or jnp.float32)
         if self.packed_p > 1:
             from ..ops.packed import packed_conv1d
@@ -267,11 +273,19 @@ class AMPBlock1(nn.Module):
         else:
             y = conv1d(xt.astype(self.dtype), w.astype(self.dtype), b,
                        padding=pad, dilation=dil, mxu=self.mxu_convs)
-        return y if residual is None else y + residual
+        if residual is not None:
+            y = y + residual
+        for r in extras:
+            y = y + r
+        return y if out_scale == 1.0 else y * out_scale
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, extra_residuals=None, out_scale: float = 1.0):
+        """``extra_residuals``/``out_scale`` apply to the LAST conv only:
+        they let BigVGAN fold the MRF branch average into this block's final
+        kernel (out = out_scale * (conv + x + sum(extra_residuals)))."""
         k = self.kernel_size
+        n_last = len(self.dilations) - 1
         for j, d in enumerate(self.dilations):
             w = self.param(f"convs1_{j}_kernel", nn.initializers.lecun_normal(),
                            (k, self.channels, self.channels))
@@ -280,8 +294,10 @@ class AMPBlock1(nn.Module):
             w2 = self.param(f"convs2_{j}_kernel", nn.initializers.lecun_normal(),
                             (k, self.channels, self.channels))
             b2 = self.param(f"convs2_{j}_bias", nn.initializers.zeros, (self.channels,))
-            x = self._act_then_conv(xt, f"act2_{j}", w2, b2, (k - 1) // 2, 1,
-                                    residual=x)
+            x = self._act_then_conv(
+                xt, f"act2_{j}", w2, b2, (k - 1) // 2, 1, residual=x,
+                extra_residuals=extra_residuals if j == n_last else None,
+                out_scale=out_scale if j == n_last else 1.0)
         return x
 
 
@@ -360,41 +376,73 @@ class BigVGAN(nn.Module):
         b = self.param("conv_pre_bias", nn.initializers.zeros, (ch,))
         x = conv1d(mel.astype(self.dtype), w.astype(self.dtype), b, padding=3)
 
+        p = 1  # packing of x across stage boundaries
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch_out = cfg.upsample_initial_channel // (2 ** (i + 1))
             wt = self.param(f"ups_{i}_kernel", nn.initializers.lecun_normal(),
                             (k, ch_out, ch))  # [K, Cout, Cin] transpose orientation
             bt = self.param(f"ups_{i}_bias", nn.initializers.zeros, (ch_out,))
-            x = conv_transpose1d(x.astype(self.dtype), wt.astype(self.dtype),
-                                 bt, stride=u, padding=(k - u) // 2)
-            p = self._pack_factor(ch_out, x.shape[1])
-            if p > 1:
-                from ..ops.packed import pack_time
-                x = pack_time(x, p)
+            t_next = x.shape[1] * p * u
+            p_next = self._pack_factor(ch_out, t_next)
+            # the big stage-boundary upsamplers run as packed Pallas
+            # transposed convs (packed in -> packed out, no relayout, no XLA
+            # lhs_dilation); small/unpacked stages keep the XLA path
+            use_pallas_up = (self.pallas_convs and self.packed and p_next > 1
+                             and (k - u) % 2 == 0)
+            if use_pallas_up:
+                g_i = p_next // math.gcd(u * p, p_next)  # input super-row size
+                use_pallas_up = x.shape[1] % g_i == 0
+            if use_pallas_up:
+                from ..ops.packed import pallas_packed_conv_transpose1d
+                x = pallas_packed_conv_transpose1d(
+                    x.astype(self.dtype), wt.astype(self.dtype), bt,
+                    stride=u, padding=(k - u) // 2, p_in=p, p_out=p_next,
+                    dot_dtype=self.conv_dtype or jnp.float32)
+            else:
+                if p > 1:
+                    from ..ops.packed import unpack_time
+                    x = unpack_time(x, p)
+                x = conv_transpose1d(x.astype(self.dtype),
+                                     wt.astype(self.dtype), bt, stride=u,
+                                     padding=(k - u) // 2)
+                if p_next > 1:
+                    from ..ops.packed import pack_time
+                    x = pack_time(x, p_next)
+            p = p_next
             if self.storage_dtype is not None:
                 # the MRF is HBM-bound: store feature maps in storage_dtype
                 # (kernels still accumulate f32); stage-boundary upsamplers
                 # read f32 via the astype above
                 x = x.astype(self.storage_dtype)
-            acc = None
+            # MRF: when the branches end in Pallas convs, the 3-branch
+            # average folds into the last branch's final kernel (multi-
+            # residual + out_scale) instead of a separate full-array pass
+            fold_avg = (block_cls is AMPBlock1 and self.pallas_convs
+                        and num_kernels > 1)
+            ys = []
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
                 extra = ({"mxu_convs": self.mxu_convs,
                           "pallas_convs": self.pallas_convs,
                           "fuse_act_conv": self.fuse_act_conv}
                          if block_cls is AMPBlock1 else {})
-                y = block_cls(
+                block = block_cls(
                     ch_out, rk, rd, cfg.activation, cfg.snake_logscale,
                     dtype=self.dtype, fused=self.fused_act, packed_p=p,
                     conv_dtype=self.conv_dtype, **extra,
-                    name=f"resblocks_{i * num_kernels + j}")(x)
-                acc = y if acc is None else acc + y
-            x = acc / num_kernels
-            is_last = i == len(cfg.upsample_rates) - 1
-            if p > 1 and not is_last:  # stay packed through act_post/conv_post
-                from ..ops.packed import unpack_time
-                x = unpack_time(x, p)
-                p = 1
+                    name=f"resblocks_{i * num_kernels + j}")
+                if fold_avg and j == num_kernels - 1:
+                    ys.append(block(x, extra_residuals=tuple(ys),
+                                    out_scale=1.0 / num_kernels))
+                else:
+                    ys.append(block(x))
+            if fold_avg:
+                x = ys[-1]
+            else:
+                acc = ys[0]
+                for y in ys[1:]:
+                    acc = acc + y
+                x = acc / num_kernels
             ch = ch_out
 
         x = Activation1d(ch, cfg.activation, cfg.snake_logscale,

@@ -28,6 +28,7 @@ against the unpacked composition in tests/test_packed.py.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -123,9 +124,10 @@ def _round8(n: int) -> int:
     return -(-n // 8) * 8
 
 
-def _make_conv_kernel(offsets, s_t: int, p8: int, c_blk: int, dot_dtype):
+def _make_conv_kernel(offsets, s_t: int, p8: int, c_blk: int, dot_dtype,
+                      n_res: int = 1, out_scale: float = 1.0):
     def kernel(cur_ref, prev_ref, nxt_ref, w_ref, b_ref, *rest):
-        res_ref, out_ref = rest if len(rest) == 2 else (None, rest[0])
+        res_refs, out_ref = rest[:-1], rest[-1]
         ext = jnp.concatenate(
             [prev_ref[0], cur_ref[0], nxt_ref[0]], axis=0).astype(dot_dtype)
         acc = jnp.zeros((s_t, c_blk), jnp.float32)
@@ -135,28 +137,40 @@ def _make_conv_kernel(offsets, s_t: int, p8: int, c_blk: int, dot_dtype):
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         acc = acc + b_ref[0, :].astype(jnp.float32)
-        if res_ref is not None:
+        for res_ref in res_refs:
             acc = acc + res_ref[0].astype(jnp.float32)
+        if out_scale != 1.0:
+            acc = acc * out_scale
         out_ref[0, :, :] = acc.astype(out_ref.dtype)
 
     return kernel
 
 
+def _as_residual_tuple(residual) -> tuple:
+    if residual is None:
+        return ()
+    if isinstance(residual, (list, tuple)):
+        return tuple(residual)
+    return (residual,)
+
+
 def pallas_packed_conv1d(xp: jax.Array, w: jax.Array, b: Optional[jax.Array],
                          *, pad: int, dilation: int, p: int,
-                         residual: Optional[jax.Array] = None,
+                         residual=None, out_scale: float = 1.0,
                          dot_dtype=jnp.float32,
                          interpret: bool = False) -> jax.Array:
-    """Same contract as packed_conv1d (+ optional fused residual add), computed
-    by a Pallas kernel: per (cout-block, time-tile), Qnz MXU dots with f32
-    accumulation. ``dot_dtype`` is the MXU input precision (weights and
-    activations are cast on the fly; bf16 is ~8x f32 MXU throughput).
+    """Same contract as packed_conv1d (+ optional fused residual adds),
+    computed by a Pallas kernel: per (cout-block, time-tile), Qnz MXU dots
+    with f32 accumulation. ``dot_dtype`` is the MXU input precision (weights
+    and activations are cast on the fly).
+
+    ``residual`` may be one array or a sequence of arrays (all [B, S, pCout]),
+    summed into the output in-kernel; ``out_scale`` multiplies the final sum —
+    together they let a caller fold e.g. BigVGAN's MRF branch average
+    ``(y1 + y2 + conv(x) + res) / 3`` into the last branch's conv instead of
+    paying a separate full-array elementwise pass (reference takes the mean at
+    bigvgan/models.py:187-191).
     """
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    interpret = interpret or jax.default_backend() != "tpu"
-
     bsz, s, pcin = xp.shape
     k, cin, cout = w.shape
     assert pcin == p * cin, (xp.shape, w.shape, p)
@@ -165,21 +179,40 @@ def pallas_packed_conv1d(xp: jax.Array, w: jax.Array, b: Optional[jax.Array],
     rel_offsets, nz_idx, pad_lo, pad_hi = _nonzero_taps(k, pad, dilation, p)
     wp, _, _ = pack_conv_kernel(w, pad, dilation, p)  # [Q, pC, pCout]
     wnz = wp[jnp.asarray(nz_idx)].astype(dot_dtype)   # [Qnz, pC, pCout]
-    bias = (jnp.tile(b, p) if b is not None
+    bias = b if b is None else jnp.tile(b, p)
+    return _pallas_conv_rows(xp, wnz, rel_offsets, pad_lo, pad_hi, bias,
+                             _as_residual_tuple(residual), out_scale,
+                             dot_dtype, interpret, pcout)
+
+
+def _pallas_conv_rows(xp, wnz, rel_offsets, pad_lo: int, pad_hi: int,
+                      bias_vec, residuals: tuple, out_scale: float,
+                      dot_dtype, interpret: bool, pcout: int) -> jax.Array:
+    """Shared Pallas core: ``y[s] = scale * (sum_q x[s+q] @ W[q] + bias +
+    sum(residuals))`` over packed rows, zero outside [0, S). Drives both the
+    packed conv and the packed transposed conv (which differ only in their
+    weight scatter plans)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    bsz, s, pcin = xp.shape
+    bias = (bias_vec if bias_vec is not None
             else jnp.zeros((pcout,), jnp.float32)).reshape(1, pcout)
 
-    p8 = _round8(pad_lo)
-    n8 = _round8(pad_hi)
+    p8 = max(8, _round8(pad_lo))  # Pallas blocks need nonzero rows
+    n8 = max(8, _round8(pad_hi))
 
     s_t = _pick_rows(s, cap=256)
     if s_t == 0:  # zero-pad rows (= the conv's own zero padding) and slice
         s_pad = -(-max(64, s) // 8) * 8
         xq = jnp.pad(xp, ((0, 0), (0, s_pad - s), (0, 0)))
-        rq = (jnp.pad(residual, ((0, 0), (0, s_pad - s), (0, 0)))
-              if residual is not None else None)
-        return pallas_packed_conv1d(
-            xq, w, b, pad=pad, dilation=dilation, p=p, residual=rq,
-            dot_dtype=dot_dtype, interpret=interpret)[:, :s, :]
+        rq = tuple(jnp.pad(r, ((0, 0), (0, s_pad - s), (0, 0)))
+                   for r in residuals)
+        return _pallas_conv_rows(
+            xq, wnz, rel_offsets, pad_lo, pad_hi, bias_vec, rq, out_scale,
+            dot_dtype, interpret, pcout)[:, :s, :]
     n_tiles = s // s_t
 
     # halo strips at packed-row granularity; rows outside [0, s) zeroed here
@@ -204,7 +237,8 @@ def pallas_packed_conv1d(xp: jax.Array, w: jax.Array, b: Optional[jax.Array],
                 break
     n_cb = pcout // c_blk
 
-    kernel = _make_conv_kernel(rel_offsets, s_t, p8, c_blk, dot_dtype)
+    kernel = _make_conv_kernel(rel_offsets, s_t, p8, c_blk, dot_dtype,
+                               n_res=len(residuals), out_scale=out_scale)
     in_specs = [
         pl.BlockSpec((1, s_t, pcin), lambda b_, j, i: (b_, i, 0),
                      memory_space=pltpu.VMEM),
@@ -218,11 +252,11 @@ def pallas_packed_conv1d(xp: jax.Array, w: jax.Array, b: Optional[jax.Array],
                      memory_space=pltpu.VMEM),
     ]
     args = [xp, prev, nxt, wnz, bias]
-    if residual is not None:
+    for r in residuals:
         in_specs.append(pl.BlockSpec((1, s_t, c_blk),
                                      lambda b_, j, i: (b_, i, j),
                                      memory_space=pltpu.VMEM))
-        args.append(residual)
+        args.append(r)
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bsz, s, pcout), xp.dtype),
@@ -233,6 +267,113 @@ def pallas_packed_conv1d(xp: jax.Array, w: jax.Array, b: Optional[jax.Array],
         interpret=interpret,
     )(*args)
     return y
+
+
+# --- packed transposed conv (stage-boundary upsamplers) ------------------------
+#
+# BigVGAN's stage-boundary ConvTranspose1d upsamplers (reference:
+# bigvgan/models.py:137-147) run between packed MRF stages. XLA's
+# lhs_dilation lowering of these long-signal fractionally-strided convs is
+# slow (PERF.md finding 1); instead the transposed conv is expressed in the
+# packed domain directly. Group g_i input packed rows / g_o output packed
+# rows into "super-rows" with g_o / g_i = u * p_in / p_out: the transposed
+# conv becomes a plain stride-1 conv over super-rows,
+#
+#   out_super[s] = sum_q in_super[s + q] @ W''[q],
+#
+# with W'' [Q, g_i*p_in*Cin, g_o*p_out*Cout] holding W[j] blocks at the
+# (input phase mu, output phase rho) positions where (rho + pad - j) % u == 0
+# — the exact same Pallas core as the packed conv, just a different weight
+# scatter plan. The super-row reshapes on either side are row-major no-ops.
+
+
+@functools.lru_cache(maxsize=64)
+def _convt_plan(k: int, u: int, pad: int, G_i: int, G_o: int):
+    """One-hot scatter O[j, rho, q, mu] for the transposed conv: output
+    sample rho of a super-row takes tap j from input sample mu of super-row
+    (s + q) when (rho + pad - j) is a multiple of the stride u."""
+    assert G_o == u * G_i, (G_o, u, G_i)
+    entries = []
+    for j in range(k):
+        for rho in range(G_o):
+            e = rho + pad - j
+            if e % u == 0:
+                t_rel = e // u
+                q = t_rel // G_i
+                entries.append((j, rho, q, t_rel - q * G_i))
+    q_min = min(q for _, _, q, _ in entries)
+    q_max = max(q for _, _, q, _ in entries)
+    nq = q_max - q_min + 1
+    onehot = np.zeros((k, G_o, nq, G_i), np.float32)
+    for j, rho, q, mu in entries:
+        onehot[j, rho, q - q_min, mu] = 1.0
+    return onehot, -q_min, q_max
+
+
+def pack_convt_kernel(wt: jax.Array, *, stride: int, padding: int,
+                      p_in: int, p_out: int):
+    """wt [K, Cout, Cin] (ConvTranspose orientation, as BigVGAN stores it) ->
+    (W'' [Q, G_i*Cin, G_o*Cout], pad_lo, pad_hi, g_i, g_o) for the super-row
+    plan. Requires u * p_in * Cin-divisibility only in row counts (checked by
+    the caller)."""
+    k, cout, cin = wt.shape
+    # g_o / g_i = u * p_in / p_out in lowest terms
+    num, den = stride * p_in, p_out
+    g = math.gcd(num, den)
+    g_o, g_i = num // g, den // g
+    G_i, G_o = g_i * p_in, g_o * p_out
+    onehot, pad_lo, pad_hi = _convt_plan(k, stride, padding, G_i, G_o)
+    nq = onehot.shape[2]
+    wp = jnp.einsum("jrqm,joi->qmiro", jnp.asarray(onehot), wt)
+    return wp.reshape(nq, G_i * cin, G_o * cout), pad_lo, pad_hi, g_i, g_o
+
+
+def pallas_packed_conv_transpose1d(xp: jax.Array, wt: jax.Array,
+                                   b: Optional[jax.Array], *, stride: int,
+                                   padding: int, p_in: int, p_out: int,
+                                   residual=None, out_scale: float = 1.0,
+                                   dot_dtype=jnp.float32,
+                                   interpret: bool = False) -> jax.Array:
+    """Packed-domain ConvTranspose1d: xp [B, S_in, p_in*Cin] (p_in may be 1),
+    wt [K, Cout, Cin]; returns [B, S_out, p_out*Cout] with
+    S_out = S_in * stride * p_in / p_out. Equals
+    pack(conv_transpose1d(unpack(xp, p_in), wt, b, stride, padding), p_out)
+    for the exact-length case (stride*T_in outputs — all of BigVGAN's
+    upsamplers). ``residual``/``out_scale`` fold trailing elementwise work
+    (e.g. the MRF average of the NEXT stage's input) into the kernel."""
+    bsz, s_in, pcin = xp.shape
+    k, cout, cin = wt.shape
+    assert pcin == p_in * cin, (xp.shape, wt.shape, p_in)
+    # torch ConvTranspose1d length: (T-1)*u - 2*pad + k; the packed plan
+    # produces exactly u*T outputs — require the config to agree
+    t_in = s_in * p_in
+    t_out = (t_in - 1) * stride - 2 * padding + k
+    assert t_out == stride * t_in, (
+        "packed transposed conv requires (T-1)*u - 2*pad + k == u*T; "
+        f"got u={stride} pad={padding} k={k}")
+
+    wp, pad_lo, pad_hi, g_i, g_o = pack_convt_kernel(
+        wt, stride=stride, padding=padding, p_in=p_in, p_out=p_out)
+    assert s_in % g_i == 0, (s_in, g_i)
+    n_super = s_in // g_i
+    s_out = n_super * g_o
+
+    # drop all-zero taps (MXU work scales with tap count)
+    onehot, _, _ = _convt_plan(k, stride, padding, g_i * p_in,
+                               g_o * p_out)
+    nz = np.flatnonzero(onehot.sum(axis=(0, 1, 3)) > 0)
+    wnz = wp[jnp.asarray(nz)]
+    offsets = tuple(int(q) - pad_lo for q in nz)
+
+    xs = xp.reshape(bsz, n_super, g_i * pcin)
+    residuals = tuple(
+        r.reshape(bsz, n_super, g_o * p_out * cout)
+        for r in _as_residual_tuple(residual))
+    bias = b if b is None else jnp.tile(b, g_o * p_out)
+    y = _pallas_conv_rows(xs, wnz.astype(dot_dtype), offsets,
+                          pad_lo, pad_hi, bias, residuals, out_scale,
+                          dot_dtype, interpret, g_o * p_out * cout)
+    return y.reshape(bsz, s_out, p_out * cout)
 
 
 # --- packed anti-aliased snake activation (Pallas) ----------------------------
@@ -524,13 +665,16 @@ def pallas_packed_act_conv1d(xp: jax.Array, alpha: jax.Array,
                              pad: int, dilation: int, p: int,
                              residual: Optional[jax.Array] = None,
                              dot_dtype=jnp.float32,
-                             interpret: bool = False) -> jax.Array:
+                             interpret: bool = False,
+                             s_t_cap: int = 256) -> jax.Array:
     """One kernel computing ``conv(act(xp))`` (+ optional fused residual):
     equals pallas_packed_conv1d(packed_snake_activation1d(xp, ...), w, b,
     ...) with the intermediate kept in VMEM. The first/last _PATCH_OUT
     unpacked outputs are recomputed exactly with the unfused composition
     (the act's sequence-edge replicate padding can't be reproduced from
-    clamped packed-row halos)."""
+    clamped packed-row halos). ``s_t_cap`` bounds the time-tile rows — the
+    kernel's VMEM working set (weights + act arrays + cached lane rolls)
+    scales with it, and smaller tiles can pipeline better."""
     interpret = interpret or jax.default_backend() != "tpu"
     bsz, s, pcin = xp.shape
     k, cin, cout = w.shape
@@ -544,23 +688,23 @@ def pallas_packed_act_conv1d(xp: jax.Array, alpha: jax.Array,
                                     p=p, residual=residual,
                                     dot_dtype=dot_dtype, interpret=interpret)
 
-    s_t = _pick_rows(s, cap=256)
+    s_t = _pick_rows(s, cap=s_t_cap)
     if s_t == 0:  # pad rows; the kernel masks by the TRUE length
         s_pad = -(-max(64, s) // 8) * 8
         xq = jnp.pad(xp, ((0, 0), (0, s_pad - s), (0, 0)))
         rq = (jnp.pad(residual, ((0, 0), (0, s_pad - s), (0, 0)))
               if residual is not None else None)
         return _act_conv_padded(xq, s, alpha, beta, logscale, w, b, pad,
-                                dilation, p, rq, dot_dtype,
-                                interpret)[:, :s, :]
+                                dilation, p, rq, dot_dtype, interpret,
+                                s_t_cap)[:, :s, :]
     return _act_conv_core(xp, s, s_t, alpha, beta, logscale, w, b, pad,
                           dilation, p, residual, dot_dtype, interpret)
 
 
 def _act_conv_padded(xq, s_true, alpha, beta, logscale, w, b, pad, dilation,
-                     p, residual, dot_dtype, interpret):
+                     p, residual, dot_dtype, interpret, s_t_cap: int = 256):
     s_pad = xq.shape[1]
-    s_t = _pick_rows(s_pad, cap=256)
+    s_t = _pick_rows(s_pad, cap=s_t_cap)
     return _act_conv_core(xq, s_true, s_t, alpha, beta, logscale, w, b, pad,
                           dilation, p, residual, dot_dtype, interpret)
 

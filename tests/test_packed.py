@@ -138,6 +138,76 @@ def test_pallas_packed_conv_awkward_rows(rng):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_pallas_conv_multi_residual_scale(rng):
+    """Multiple fused residuals + out_scale == XLA composition (the MRF
+    branch-average fold)."""
+    from flowhigh_tpu.ops.packed import pallas_packed_conv1d
+
+    s, p, c = 48, 8, 48
+    xp = jnp.asarray(rng.standard_normal((2, s, p * c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((7, c, c)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    r1 = jnp.asarray(rng.standard_normal((2, s, p * c)).astype(np.float32))
+    r2 = jnp.asarray(rng.standard_normal((2, s, p * c)).astype(np.float32))
+    r3 = jnp.asarray(rng.standard_normal((2, s, p * c)).astype(np.float32))
+    ref = (packed_conv1d(xp, w, b, pad=9, dilation=3, p=p) + r1 + r2 + r3) / 3.0
+    got = pallas_packed_conv1d(xp, w, b, pad=9, dilation=3, p=p,
+                               residual=[r1, r2, r3], out_scale=1.0 / 3.0,
+                               dot_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("u,k,p_in,p_out,cin,cout", [
+    (2, 4, 4, 8, 96, 48),    # s3 -> s4 stage boundary (same-rows)
+    (3, 7, 2, 4, 192, 96),   # s2 -> s3 (3:2 super-rows)
+    (4, 8, 1, 2, 384, 192),  # s1 -> s2 (unpacked in, 1:2 rows)
+    (4, 8, 1, 8, 64, 32),    # small-config shape (g_o=1, g_i=2)
+])
+def test_pallas_packed_conv_transpose_matches(rng, u, k, p_in, p_out, cin, cout):
+    """Packed transposed conv == pack(conv_transpose1d(unpack(x)))."""
+    from flowhigh_tpu.models.bigvgan import conv_transpose1d
+    from flowhigh_tpu.ops.packed import pallas_packed_conv_transpose1d
+
+    s_in = 48
+    xp = jnp.asarray(
+        rng.standard_normal((2, s_in, p_in * cin)).astype(np.float32))
+    wt = jnp.asarray(
+        rng.standard_normal((k, cout, cin)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    pad = (k - u) // 2
+    ref = pack_time(conv_transpose1d(unpack_time(xp, p_in), wt, b,
+                                     stride=u, padding=pad), p_out)
+    got = pallas_packed_conv_transpose1d(xp, wt, b, stride=u, padding=pad,
+                                         p_in=p_in, p_out=p_out,
+                                         interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_packed_conv_transpose_residual_scale(rng):
+    """Fused residuals + out_scale on the transposed conv."""
+    from flowhigh_tpu.models.bigvgan import conv_transpose1d
+    from flowhigh_tpu.ops.packed import pallas_packed_conv_transpose1d
+
+    u, k, p_in, p_out, cin, cout = 2, 4, 4, 8, 96, 48
+    s_in = 48
+    xp = jnp.asarray(
+        rng.standard_normal((1, s_in, p_in * cin)).astype(np.float32))
+    wt = jnp.asarray(
+        rng.standard_normal((k, cout, cin)).astype(np.float32) * 0.1)
+    r = jnp.asarray(
+        rng.standard_normal((1, s_in, p_out * cout)).astype(np.float32))
+    ref = (pack_time(conv_transpose1d(unpack_time(xp, p_in), wt, None,
+                                      stride=u, padding=1), p_out) + r) * 0.5
+    got = pallas_packed_conv_transpose1d(xp, wt, None, stride=u, padding=1,
+                                         p_in=p_in, p_out=p_out, residual=r,
+                                         out_scale=0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_pallas_bigvgan_matches_unpacked(rng):
     """Full generator with packed MRF + Pallas convs == plain path."""
     import jax
