@@ -230,7 +230,11 @@ class AMPBlock1(nn.Module):
     packed_p: int = 1          # >1: run on space-to-depth packed features
     conv_dtype: Optional[jnp.dtype] = None  # packed-conv contraction dtype
     pallas_convs: bool = False  # Pallas MXU conv kernel (serving fast path)
-    fuse_act_conv: bool = False  # one kernel per [act -> conv] pair
+    # fuse [act -> conv] pairs into one kernel: False | True | "auto"
+    # ("auto" fuses only k<=3 convs — measured the only size where keeping
+    # the act output in VMEM beats the separate kernels; at k=7/11 the
+    # in-kernel VPU->MXU serialization cancels the saved HBM round trip)
+    fuse_act_conv: object = False
 
     def _act_then_conv(self, x, act_name, w, b, pad, dil, residual=None,
                        extra_residuals=None, out_scale: float = 1.0):
@@ -239,7 +243,10 @@ class AMPBlock1(nn.Module):
         separate act + conv pair otherwise."""
         act = Activation1d(self.channels, self.activation, self.logscale,
                            self.fused, self.packed_p, name=act_name)
-        if (self.fuse_act_conv and self.pallas_convs and self.packed_p > 1
+        fuse = self.fuse_act_conv
+        if fuse == "auto":
+            fuse = w.shape[0] <= 3
+        if (fuse and self.pallas_convs and self.packed_p > 1
                 and not extra_residuals):
             from ..ops.packed import act_conv_fusable, pallas_packed_act_conv1d
             k = w.shape[0]
@@ -344,7 +351,7 @@ class BigVGAN(nn.Module):
     packed: bool = False     # space-to-depth MRF for narrow-channel stages
     conv_dtype: Optional[jnp.dtype] = None  # packed-conv MXU dtype (e.g. bf16)
     pallas_convs: bool = False  # resblock convs via the Pallas MXU kernel
-    fuse_act_conv: bool = False  # fuse [act -> conv] pairs into one kernel
+    fuse_act_conv: object = False  # False | True | "auto": see AMPBlock1
     # HBM dtype of the MRF feature maps (ALL stages, packed or not): halves
     # the act/conv pass traffic while the Pallas kernels accumulate in f32
     # internally. Stage-boundary upsamplers still run in ``dtype`` (inputs

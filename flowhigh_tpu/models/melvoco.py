@@ -49,7 +49,7 @@ class MelVoco:
                  vocoder_params=None, dtype=jnp.float32, fused_act: bool = False,
                  packed: bool = False, conv_dtype=None,
                  pallas_convs: bool = False, storage_dtype=None,
-                 fuse_act_conv: bool = False,
+                 fuse_act_conv=False,  # False | True | "auto"
                  *,
                  # reference constructor surface (melvoco.py:17-31)
                  n_mels=None, sampling_rate=None, f_max=None, f_min=None,

@@ -125,11 +125,11 @@ def _make_kernel(logscale: bool, has_beta: bool, tile_t: int, c_blk: int):
     return kernel
 
 
-def _pick_tile(t: int) -> int:
-    """Largest multiple-of-8 divisor of t up to 1024 (audio/vocoder lengths
-    are highly composite); 0 if none — caller pads."""
+def _pick_tile(t: int, cap: int = TILE_T) -> int:
+    """Largest multiple-of-8 divisor of t up to ``cap`` (audio/vocoder
+    lengths are highly composite); 0 if none — caller pads."""
     best = 0
-    for cand in range(min(TILE_T, t), 7, -8):
+    for cand in range(min(cap, t), 7, -8):
         if t % cand == 0:
             best = cand
             break
@@ -163,12 +163,12 @@ def _fused_fwd_impl(x, alpha, beta, logscale, interpret):
     io_dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
 
     tile_t = _pick_tile(t)
+    c_blk = min(c, TILE_C)  # Mosaic lane-pads narrow C; wide C splits in 128s
     if tile_t == 0:  # awkward length: pad up to a multiple of 8 and recurse
         t_pad = -(-max(64, t) // 8) * 8
         xq = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)), mode="edge")
         return _fused_fwd_impl(xq, alpha, beta, logscale, interpret)[:, :t, :]
     n_tiles = t // tile_t
-    c_blk = min(c, TILE_C)  # Mosaic lane-pads narrow C; wide C splits in 128s
 
     # tiny halo strips gathered straight from x (edge-clamped indices give the
     # up stage's replicate padding); strips are 16/tile_t of the main traffic

@@ -103,7 +103,7 @@ class FlowHighSR:
         prior_semantics: str = "reference",
         fused_vocoder: bool = False,
         packed_vocoder: Optional[bool] = None,  # default: follows fused_vocoder
-        fuse_act_conv: bool = False,  # measured ~3% slower than separate kernels
+        fuse_act_conv="auto",  # "auto": fuse only k<=3 pairs (the measured win)
         vocoder_conv_dtype=None,
         vocoder_storage_dtype=None,  # e.g. jnp.bfloat16: halve packed-stage HBM traffic
         use_torchode: bool = False,

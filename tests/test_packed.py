@@ -323,3 +323,8 @@ class TestFusedActConv:
                       fuse_act_conv=True).apply(params, mel)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
+        # "auto" (fuse only k<=3 pairs — the serving default) also matches
+        got_auto = BigVGAN(cfg, packed=True, pallas_convs=True,
+                           fuse_act_conv="auto").apply(params, mel)
+        np.testing.assert_allclose(np.asarray(got_auto), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
