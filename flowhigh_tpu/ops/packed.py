@@ -445,12 +445,17 @@ def _act_rows(ext, ext_base: int, alpha, beta, p: int, c: int,
     up-FIR (se/so phases) -> snake -> down-FIR."""
     h, we, wo = _act_filters()
     pc = p * c
-    n_s = n_rows + 4  # se/so need rows [row_lo-2, row_lo+n_rows+2)
+    # se/so row window: every down-FIR tap m in [-3, 3] reads packed row
+    # floor(m/p) (+1 when the lane shift wraps), so +-ceil(3/p) rows suffice:
+    # +-3 at p=1 (pure row shifts), +-2 at p=2, +-1 at p>=4. Stays within the
+    # callers' _H=8 input halo for all p (x accesses reach +-2*ceil(3/p)).
+    e = -(-3 // p)
+    n_s = n_rows + 2 * e
     ush_x = _lane_shifter(ext, ext_base, p, c)
     se = jnp.zeros((n_s, pc), jnp.float32)
     so = jnp.zeros((n_s, pc), jnp.float32)
     for d in range(-3, 4):  # build each shift once, MAC, let it die
-        sh = ush_x(d, row_lo - 2, n_s)
+        sh = ush_x(d, row_lo - e, n_s)
         if -3 <= d <= 2:
             se = se + we[d + 3] * sh
         if -2 <= d <= 3:
@@ -458,8 +463,8 @@ def _act_rows(ext, ext_base: int, alpha, beta, p: int, c: int,
     se = _snake_packed(se, alpha, beta)
     so = _snake_packed(so, alpha, beta)
 
-    ush_se = _lane_shifter(se, row_lo - 2, p, c)
-    ush_so = _lane_shifter(so, row_lo - 2, p, c)
+    ush_se = _lane_shifter(se, row_lo - e, p, c)
+    ush_so = _lane_shifter(so, row_lo - e, p, c)
     y = jnp.zeros((n_rows, pc), jnp.float32)
     for m in range(-2, 4):
         y = y + h[2 * m + 5] * ush_se(m, row_lo, n_rows)
