@@ -231,9 +231,10 @@ class AMPBlock1(nn.Module):
     conv_dtype: Optional[jnp.dtype] = None  # packed-conv contraction dtype
     pallas_convs: bool = False  # Pallas MXU conv kernel (serving fast path)
     # fuse [act -> conv] pairs into one kernel: False | True | "auto"
-    # ("auto" fuses only k<=3 convs — measured the only size where keeping
-    # the act output in VMEM beats the separate kernels; at k=7/11 the
-    # in-kernel VPU->MXU serialization cancels the saved HBM round trip)
+    # ("auto" fuses only k<=3 convs — the only profitable size before the
+    # act halo was tightened to +-ceil(3/p) rows; with that change fusing
+    # every VMEM-eligible pair measures fastest, and the serving default in
+    # sr.py is True)
     fuse_act_conv: object = False
 
     def _act_then_conv(self, x, act_name, w, b, pad, dil, residual=None,
@@ -246,8 +247,10 @@ class AMPBlock1(nn.Module):
         fuse = self.fuse_act_conv
         if fuse == "auto":
             fuse = w.shape[0] <= 3
-        if (fuse and self.pallas_convs and self.packed_p > 1
-                and not extra_residuals):
+        # p=1 is eligible too: the packed act at p=1 degenerates to pure
+        # row slices, so fusing saves the act's HBM round-trip whenever the
+        # weights fit VMEM (act_conv_fusable)
+        if fuse and self.pallas_convs and not extra_residuals:
             from ..ops.packed import act_conv_fusable, pallas_packed_act_conv1d
             k = w.shape[0]
             if act_conv_fusable(k, pad, dil, self.packed_p, self.channels):

@@ -227,13 +227,16 @@ def _pallas_conv_rows(xp, wnz, rel_offsets, pad_lo: int, pad_hi: int,
     nxt = nxt.reshape(bsz, n_tiles * n8, pcin)
 
     # cout block: largest divisor of pcout whose weight block fits a VMEM
-    # budget (double-buffered alongside the x/out blocks)
-    itemsize = jnp.dtype(dot_dtype).itemsize
+    # budget (double-buffered alongside the x/out blocks). The budget is
+    # counted at f32 itemsize regardless of dot_dtype: letting bf16 weights
+    # double c_blk busts the 16 MiB scoped-vmem limit at the wide p=1
+    # stages (measured: [5000, 768] k7d3 bf16 picks c_blk=384 and OOMs at
+    # 16.47 MiB), and block shapes f32 can't run are never worth it.
     c_blk = pcout
     for cand in (pcout, 512, 384, 256, 128):
         if cand <= pcout and pcout % cand == 0:
             c_blk = cand
-            if len(rel_offsets) * pcin * cand * itemsize <= 7 * 2**20:
+            if len(rel_offsets) * pcin * cand * 4 <= 7 * 2**20:
                 break
     n_cb = pcout // c_blk
 
@@ -657,9 +660,10 @@ def act_conv_fusable(k: int, pad: int, dilation: int, p: int, c: int,
     The budget is the WEIGHT bytes only, set to 6 MiB to leave headroom
     for the kernel's VMEM-resident act working set (ext window + up to six
     cached lane-rolls of ext/se/so + the act output + out/residual blocks,
-    a few MiB at s_t=256) inside the ~16 MiB core VMEM."""
-    if p < 2:
-        return False  # unpacked stages use the separate fused_act kernel
+    a few MiB at s_t=256) inside the ~16 MiB core VMEM. p=1 is allowed:
+    there every act shift is a pure row slice (no rolls/selects), so the
+    fusion saves the act round-trip at no shift cost — profitable for the
+    C=384 stage (k=7: 4.1 MiB); C=768 never fits (k=3 is already 7.1 MiB)."""
     rel_offsets, _, _, _ = _nonzero_taps(k, pad, dilation, p)
     return len(rel_offsets) * (p * c) * (p * c) * 4 <= budget_bytes
 
@@ -724,8 +728,12 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
     pc, pcout = p * cin, p * cout
     n_tiles = s // s_t
     rel_offsets, nz_idx, pad_lo, pad_hi = _nonzero_taps(k, pad, dilation, p)
-    hl8 = _round8(pad_lo + 4)
-    hr8 = _round8(pad_hi + 4)
+    # the act body reads x rows up to 2*ceil(3/p) beyond the conv's own
+    # [pad_lo, pad_hi] reach (see _act_rows): +-6 at p=1, +-4 at p=2, +-2
+    # at p>=4
+    e2 = 2 * -(-3 // p)
+    hl8 = _round8(pad_lo + e2)
+    hr8 = _round8(pad_hi + e2)
 
     wp, _, _ = pack_conv_kernel(w, pad, dilation, p)
     wnz = wp[jnp.asarray(nz_idx)].astype(dot_dtype)

@@ -103,7 +103,11 @@ class FlowHighSR:
         prior_semantics: str = "reference",
         fused_vocoder: bool = False,
         packed_vocoder: Optional[bool] = None,  # default: follows fused_vocoder
-        fuse_act_conv="auto",  # "auto": fuse only k<=3 pairs (the measured win)
+        # True: fuse every VMEM-eligible [act -> conv] pair into one kernel.
+        # Measured faster than "auto" (k<=3 only) once the act halo was
+        # tightened to +-ceil(3/p) rows: 105.2 vs 106.7 ms/vocode on a 10 s
+        # clip ("auto" was the winner before that change).
+        fuse_act_conv=True,
         vocoder_conv_dtype=None,
         vocoder_storage_dtype=None,  # e.g. jnp.bfloat16: halve packed-stage HBM traffic
         use_torchode: bool = False,

@@ -44,6 +44,7 @@ def test_packed_conv_matches(rng, k, d, p, cin, cout):
 
 @pytest.mark.parametrize("t,c,p", [
     (480, 48, 8), (960, 96, 4), (512, 192, 2), (4096, 48, 8), (100 * 8, 48, 8),
+    (480, 384, 1),
 ])
 def test_packed_act_matches(rng, t, c, p):
     x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
@@ -263,6 +264,7 @@ class TestFusedActConv:
 
     @pytest.mark.parametrize("p,c,k,d", [
         (8, 48, 3, 1), (8, 48, 11, 5), (4, 96, 7, 3), (2, 192, 3, 1),
+        (1, 384, 7, 3), (1, 384, 3, 1),
     ])
     def test_matches_unfused(self, rng, p, c, k, d):
         from flowhigh_tpu.ops.packed import (pallas_packed_act_conv1d,
@@ -304,7 +306,8 @@ class TestFusedActConv:
         assert act_conv_fusable(11, 25, 5, 8, 48)     # stage 5: always
         assert act_conv_fusable(3, 1, 1, 2, 192)      # small kernels fit
         assert not act_conv_fusable(11, 25, 5, 2, 192)  # 22 taps x 384x384
-        assert not act_conv_fusable(3, 1, 1, 1, 384)  # unpacked: other kernel
+        assert act_conv_fusable(7, 9, 3, 1, 384)      # p=1, C=384: 4.1 MiB
+        assert not act_conv_fusable(3, 1, 1, 1, 768)  # p=1, C=768: 7.1 MiB
 
     def test_full_generator_with_fusion(self, rng):
         import jax
