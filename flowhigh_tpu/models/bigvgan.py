@@ -250,15 +250,17 @@ class AMPBlock1(nn.Module):
         # p=1 is eligible too: the packed act at p=1 degenerates to pure
         # row slices, so fusing saves the act's HBM round-trip whenever the
         # weights fit VMEM (act_conv_fusable)
-        if fuse and self.pallas_convs and not extra_residuals:
+        if fuse and self.pallas_convs:
             from ..ops.packed import act_conv_fusable, pallas_packed_act_conv1d
             k = w.shape[0]
             if act_conv_fusable(k, pad, dil, self.packed_p, self.channels):
                 alpha, beta = act(x, return_params=True)
+                extras = tuple(extra_residuals) if extra_residuals else ()
+                res = (() if residual is None else (residual,)) + extras
                 return pallas_packed_act_conv1d(
                     x, alpha, beta, self.logscale, w.astype(self.dtype), b,
                     pad=pad, dilation=dil, p=self.packed_p,
-                    residual=residual,
+                    residual=res or None, out_scale=out_scale,
                     dot_dtype=self.conv_dtype or jnp.float32)
         return self._conv(act(x), w, b, pad, dil, residual,
                           extra_residuals, out_scale)
@@ -396,8 +398,11 @@ class BigVGAN(nn.Module):
             p_next = self._pack_factor(ch_out, t_next)
             # the big stage-boundary upsamplers run as packed Pallas
             # transposed convs (packed in -> packed out, no relayout, no XLA
-            # lhs_dilation); small/unpacked stages keep the XLA path
-            use_pallas_up = (self.pallas_convs and self.packed and p_next > 1
+            # lhs_dilation). p_out=1 is fine too — the super-row plan
+            # degenerates to one input row per super-row, and XLA's
+            # lhs_dilation lowering of the wide early upsamplers is the slow
+            # path this kernel exists to avoid
+            use_pallas_up = (self.pallas_convs and self.packed
                              and (k - u) % 2 == 0)
             if use_pallas_up:
                 g_i = p_next // math.gcd(u * p, p_next)  # input super-row size
@@ -460,7 +465,16 @@ class BigVGAN(nn.Module):
         w_post = self.param("conv_post_kernel", nn.initializers.lecun_normal(),
                             (7, ch, 1))
         b_post = self.param("conv_post_bias", nn.initializers.zeros, (1,))
-        if p > 1:
+        if p > 1 and self.pallas_convs:
+            # XLA's NHC lowering of this conv reads the full [S, p*C] map at
+            # 16-27 GB/s (PERF.md); the Pallas kernel reads it at roofline
+            # and the [S, p] output is tiny
+            from ..ops.packed import pallas_packed_conv1d, unpack_time
+            x = pallas_packed_conv1d(x, w_post.astype(self.dtype), b_post,
+                                     pad=3, dilation=1, p=p,
+                                     dot_dtype=self.conv_dtype or jnp.float32)
+            x = unpack_time(x, p)
+        elif p > 1:
             from ..ops.packed import packed_conv1d, unpack_time
             x = packed_conv1d(x, w_post.astype(self.dtype), b_post, pad=3,
                               dilation=1, p=p, conv_dtype=self.conv_dtype)

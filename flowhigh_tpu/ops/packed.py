@@ -612,7 +612,8 @@ _PATCH_OUT = 48  # unpacked fused outputs recomputed exactly at each edge
 
 def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
                           rel_offsets, hl8: int, pad_lo: int,
-                          pad_hi: int, dot_dtype, has_residual: bool):
+                          pad_hi: int, dot_dtype, n_res: int,
+                          out_scale: float = 1.0):
     import jax.experimental.pallas as pl
 
     pc = p * c
@@ -621,7 +622,7 @@ def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
     n_a = s_t + pad_lo + pad_hi
 
     def kernel(cur_ref, prev_ref, nxt_ref, ab_ref, w_ref, b_ref, *rest):
-        res_ref, out_ref = rest if has_residual else (None, rest[0])
+        res_refs, out_ref = rest[:-1], rest[-1]
         ext = jnp.concatenate(
             [prev_ref[0].astype(jnp.float32),
              cur_ref[0].astype(jnp.float32),
@@ -646,8 +647,10 @@ def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         acc = acc + b_ref[0, :].astype(jnp.float32)
-        if res_ref is not None:
+        for res_ref in res_refs:
             acc = acc + res_ref[0].astype(jnp.float32)
+        if out_scale != 1.0:
+            acc = acc * out_scale
         out_ref[0, :, :] = acc.astype(out_ref.dtype)
 
     return kernel
@@ -672,54 +675,62 @@ def pallas_packed_act_conv1d(xp: jax.Array, alpha: jax.Array,
                              beta: Optional[jax.Array], logscale: bool,
                              w: jax.Array, b: Optional[jax.Array], *,
                              pad: int, dilation: int, p: int,
-                             residual: Optional[jax.Array] = None,
+                             residual=None, out_scale: float = 1.0,
                              dot_dtype=jnp.float32,
                              interpret: bool = False,
                              s_t_cap: int = 256) -> jax.Array:
-    """One kernel computing ``conv(act(xp))`` (+ optional fused residual):
+    """One kernel computing ``out_scale * (conv(act(xp)) + sum(residuals))``:
     equals pallas_packed_conv1d(packed_snake_activation1d(xp, ...), w, b,
-    ...) with the intermediate kept in VMEM. The first/last _PATCH_OUT
-    unpacked outputs are recomputed exactly with the unfused composition
-    (the act's sequence-edge replicate padding can't be reproduced from
-    clamped packed-row halos). ``s_t_cap`` bounds the time-tile rows — the
-    kernel's VMEM working set (weights + act arrays + cached lane rolls)
-    scales with it, and smaller tiles can pipeline better."""
+    ...) with the intermediate kept in VMEM. ``residual`` may be one array
+    or a sequence (all [B, S, pCout]) — with ``out_scale`` this lets the MRF
+    branch average fold into the last branch's fused pair exactly like the
+    bare conv kernel. The first/last _PATCH_OUT unpacked outputs are
+    recomputed exactly with the unfused composition (the act's
+    sequence-edge replicate padding can't be reproduced from clamped
+    packed-row halos). ``s_t_cap`` bounds the time-tile rows — the kernel's
+    VMEM working set (weights + act arrays + cached lane rolls) scales with
+    it, and smaller tiles can pipeline better."""
     interpret = interpret or jax.default_backend() != "tpu"
     bsz, s, pcin = xp.shape
     k, cin, cout = w.shape
     assert pcin == p * cin and cin == cout, (xp.shape, w.shape, p)
+    residuals = _as_residual_tuple(residual)
 
     ctx_u = _PATCH_OUT + (k - 1) * dilation // 2 + 40
     if s * p < 2 * ctx_u + 2 * _PATCH_OUT:  # too short to patch: go unfused
         a_full = packed_snake_activation1d(xp, alpha, beta, logscale, p,
                                            interpret)
         return pallas_packed_conv1d(a_full, w, b, pad=pad, dilation=dilation,
-                                    p=p, residual=residual,
+                                    p=p, residual=residuals or None,
+                                    out_scale=out_scale,
                                     dot_dtype=dot_dtype, interpret=interpret)
 
     s_t = _pick_rows(s, cap=s_t_cap)
     if s_t == 0:  # pad rows; the kernel masks by the TRUE length
         s_pad = -(-max(64, s) // 8) * 8
         xq = jnp.pad(xp, ((0, 0), (0, s_pad - s), (0, 0)))
-        rq = (jnp.pad(residual, ((0, 0), (0, s_pad - s), (0, 0)))
-              if residual is not None else None)
+        rq = tuple(jnp.pad(r, ((0, 0), (0, s_pad - s), (0, 0)))
+                   for r in residuals)
         return _act_conv_padded(xq, s, alpha, beta, logscale, w, b, pad,
-                                dilation, p, rq, dot_dtype, interpret,
-                                s_t_cap)[:, :s, :]
+                                dilation, p, rq, out_scale, dot_dtype,
+                                interpret, s_t_cap)[:, :s, :]
     return _act_conv_core(xp, s, s_t, alpha, beta, logscale, w, b, pad,
-                          dilation, p, residual, dot_dtype, interpret)
+                          dilation, p, residuals, out_scale, dot_dtype,
+                          interpret)
 
 
 def _act_conv_padded(xq, s_true, alpha, beta, logscale, w, b, pad, dilation,
-                     p, residual, dot_dtype, interpret, s_t_cap: int = 256):
+                     p, residuals, out_scale, dot_dtype, interpret,
+                     s_t_cap: int = 256):
     s_pad = xq.shape[1]
     s_t = _pick_rows(s_pad, cap=s_t_cap)
     return _act_conv_core(xq, s_true, s_t, alpha, beta, logscale, w, b, pad,
-                          dilation, p, residual, dot_dtype, interpret)
+                          dilation, p, residuals, out_scale, dot_dtype,
+                          interpret)
 
 
 def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
-                   dilation, p, residual, dot_dtype, interpret):
+                   dilation, p, residuals, out_scale, dot_dtype, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -754,7 +765,7 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
 
     kernel = _make_act_conv_kernel(
         s_t, p, cin, cout, s_true, rel_offsets, hl8, pad_lo, pad_hi,
-        dot_dtype, residual is not None)
+        dot_dtype, len(residuals), out_scale)
     in_specs = [
         pl.BlockSpec((1, s_t, pcin), lambda b_, i: (b_, i, 0),
                      memory_space=pltpu.VMEM),
@@ -770,11 +781,11 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
                      memory_space=pltpu.VMEM),
     ]
     args = [xp, prev, nxt, ab, wnz, bias]
-    if residual is not None:
+    for r in residuals:
         in_specs.append(pl.BlockSpec((1, s_t, pcout),
                                      lambda b_, i: (b_, i, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(residual)
+        args.append(r)
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bsz, s, pcout), xp.dtype),
@@ -785,11 +796,11 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
         interpret=interpret,
     )(*args)
     return _patch_edges_act_conv(y, xp, s_true, alpha, beta, logscale, w, b,
-                                 pad, dilation, p, residual)
+                                 pad, dilation, p, residuals, out_scale)
 
 
 def _patch_edges_act_conv(y, xp, s_true, alpha, beta, logscale, w, b, pad,
-                          dilation, p, residual):
+                          dilation, p, residuals, out_scale: float = 1.0):
     """Recompute the first/last _PATCH_OUT unpacked fused outputs exactly
     with the unfused composition on small unpacked slices."""
     from ..models.bigvgan import conv1d
@@ -797,21 +808,23 @@ def _patch_edges_act_conv(y, xp, s_true, alpha, beta, logscale, w, b, pad,
     ctx_u = _PATCH_OUT + (w.shape[0] - 1) * dilation // 2 + 40
     ctx = min(-(-ctx_u // p) + 2, s_true)
 
-    def exact(x_slice, res_slice, take_head: bool):
+    def exact(x_slice, res_slices, take_head: bool):
         a_u = _reference_act(x_slice, alpha, beta, logscale)
         y_u = conv1d(a_u, w, b, padding=pad, dilation=dilation)
-        if res_slice is not None:
-            y_u = y_u + res_slice
+        for r in res_slices:
+            y_u = y_u + r
+        if out_scale != 1.0:
+            y_u = y_u * out_scale
         return (y_u[:, :_PATCH_OUT, :] if take_head
                 else y_u[:, -_PATCH_OUT:, :])
 
     left_x = unpack_time(xp[:, :ctx, :], p)
     right_x = unpack_time(xp[:, s_true - ctx : s_true, :], p)
-    left_r = (unpack_time(residual[:, :ctx, :], p)[:, :, : w.shape[2]]
-              if residual is not None else None)
-    right_r = (unpack_time(residual[:, s_true - ctx : s_true, :],
-                           p)[:, :, : w.shape[2]]
-               if residual is not None else None)
+    left_r = tuple(unpack_time(r[:, :ctx, :], p)[:, :, : w.shape[2]]
+                   for r in residuals)
+    right_r = tuple(unpack_time(r[:, s_true - ctx : s_true, :],
+                                p)[:, :, : w.shape[2]]
+                    for r in residuals)
     left_y = exact(left_x, left_r, True)
     right_y = exact(right_x, right_r, False)
 

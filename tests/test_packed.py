@@ -164,6 +164,8 @@ def test_pallas_conv_multi_residual_scale(rng):
     (3, 7, 2, 4, 192, 96),   # s2 -> s3 (3:2 super-rows)
     (4, 8, 1, 2, 384, 192),  # s1 -> s2 (unpacked in, 1:2 rows)
     (4, 8, 1, 8, 64, 32),    # small-config shape (g_o=1, g_i=2)
+    (5, 11, 1, 1, 96, 48),   # mel -> s1: unpacked in AND out (g_i=1, g_o=u)
+    (4, 8, 1, 1, 96, 48),    # s1 -> s2 unpacked out
 ])
 def test_pallas_packed_conv_transpose_matches(rng, u, k, p_in, p_out, cin, cout):
     """Packed transposed conv == pack(conv_transpose1d(unpack(x)))."""
