@@ -125,11 +125,18 @@ def _round8(n: int) -> int:
 
 
 def _make_conv_kernel(offsets, s_t: int, p8: int, c_blk: int, dot_dtype,
-                      n_res: int = 1, out_scale: float = 1.0):
+                      n_res: int = 1, out_scale: float = 1.0,
+                      n_tiles: int = 0):
+    import jax.experimental.pallas as pl
+
     def kernel(cur_ref, prev_ref, nxt_ref, w_ref, b_ref, *rest):
         res_refs, out_ref = rest[:-1], rest[-1]
-        ext = jnp.concatenate(
-            [prev_ref[0], cur_ref[0], nxt_ref[0]], axis=0).astype(dot_dtype)
+        pv, nx = prev_ref[0], nxt_ref[0]
+        if n_tiles:  # neighbor-block halos: zero them at the sequence ends
+            i = pl.program_id(2)
+            pv = jnp.where(i > 0, pv, jnp.zeros_like(pv))
+            nx = jnp.where(i < n_tiles - 1, nx, jnp.zeros_like(nx))
+        ext = jnp.concatenate([pv, cur_ref[0], nx], axis=0).astype(dot_dtype)
         acc = jnp.zeros((s_t, c_blk), jnp.float32)
         for qi, off in enumerate(offsets):
             acc = acc + jax.lax.dot_general(
@@ -215,16 +222,31 @@ def _pallas_conv_rows(xp, wnz, rel_offsets, pad_lo: int, pad_hi: int,
             dot_dtype, interpret, pcout)[:, :s, :]
     n_tiles = s // s_t
 
-    # halo strips at packed-row granularity; rows outside [0, s) zeroed here
-    # (the conv's zero padding) with a static mask
-    ip = np.arange(n_tiles)[:, None] * s_t - p8 + np.arange(p8)[None, :]
-    inx = (np.arange(n_tiles)[:, None] + 1) * s_t + np.arange(n8)[None, :]
-    mp = ((ip >= 0) & (ip < s)).reshape(-1, 1).astype(np.float32)
-    mn = ((inx >= 0) & (inx < s)).reshape(-1, 1).astype(np.float32)
-    prev = xp[:, np.clip(ip, 0, s - 1).reshape(-1), :] * jnp.asarray(mp)
-    nxt = xp[:, np.clip(inx, 0, s - 1).reshape(-1), :] * jnp.asarray(mn)
-    prev = prev.reshape(bsz, n_tiles * p8, pcin)
-    nxt = nxt.reshape(bsz, n_tiles * n8, pcin)
+    # Halo rows [i*s_t - p8, i*s_t) and [(i+1)*s_t, (i+1)*s_t + n8): when
+    # s_t is a multiple of the halo heights these are whole neighbor BLOCKS
+    # of xp itself, indexed straight from the BlockSpec (clamped at the
+    # sequence ends, zeroed in-kernel — the conv's zero padding). That
+    # keeps the halo DMA inside the Pallas pipeline; the XLA gather+mask
+    # strips this replaces cost ~0.08 ms per call at 240-row tiles
+    # (measured) — several ms across the ~90 vocoder kernels.
+    blocked = s_t % p8 == 0 and s_t % n8 == 0 and n_tiles > 1
+    if blocked:
+        prev = nxt = xp
+        rp, rn = s_t // p8, s_t // n8
+        prev_spec = lambda b_, j, i: (b_, jnp.maximum(i * rp - 1, 0), 0)
+        nxt_spec = lambda b_, j, i: (
+            b_, jnp.minimum((i + 1) * rn, s // n8 - 1), 0)
+    else:  # gather fallback (awkward tile sizes / single tile)
+        ip = np.arange(n_tiles)[:, None] * s_t - p8 + np.arange(p8)[None, :]
+        inx = (np.arange(n_tiles)[:, None] + 1) * s_t + np.arange(n8)[None, :]
+        mp = ((ip >= 0) & (ip < s)).reshape(-1, 1).astype(np.float32)
+        mn = ((inx >= 0) & (inx < s)).reshape(-1, 1).astype(np.float32)
+        prev = xp[:, np.clip(ip, 0, s - 1).reshape(-1), :] * jnp.asarray(mp)
+        nxt = xp[:, np.clip(inx, 0, s - 1).reshape(-1), :] * jnp.asarray(mn)
+        prev = prev.reshape(bsz, n_tiles * p8, pcin)
+        nxt = nxt.reshape(bsz, n_tiles * n8, pcin)
+        prev_spec = lambda b_, j, i: (b_, i, 0)
+        nxt_spec = lambda b_, j, i: (b_, i, 0)
 
     # cout block: largest divisor of pcout whose weight block fits a VMEM
     # budget (double-buffered alongside the x/out blocks). The budget is
@@ -241,14 +263,13 @@ def _pallas_conv_rows(xp, wnz, rel_offsets, pad_lo: int, pad_hi: int,
     n_cb = pcout // c_blk
 
     kernel = _make_conv_kernel(rel_offsets, s_t, p8, c_blk, dot_dtype,
-                               n_res=len(residuals), out_scale=out_scale)
+                               n_res=len(residuals), out_scale=out_scale,
+                               n_tiles=n_tiles if blocked else 0)
     in_specs = [
         pl.BlockSpec((1, s_t, pcin), lambda b_, j, i: (b_, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, p8, pcin), lambda b_, j, i: (b_, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n8, pcin), lambda b_, j, i: (b_, i, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p8, pcin), prev_spec, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n8, pcin), nxt_spec, memory_space=pltpu.VMEM),
         pl.BlockSpec((len(rel_offsets), pcin, c_blk),
                      lambda b_, j, i: (0, 0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c_blk), lambda b_, j, i: (0, j),
@@ -527,28 +548,25 @@ def packed_snake_activation1d(xp: jax.Array, alpha: jax.Array,
             interpret)[:, :s, :]
     n_tiles = s // s_t
 
-    # halo strips, gathered at *packed-row* granularity with clamped indices.
-    # Sequence-edge rows carry period-p (wrong) replicate content — only the
-    # first/last _PATCH unpacked outputs can see it, and those are recomputed
-    # exactly below.
-    idx_prev = np.clip(np.arange(n_tiles)[:, None] * s_t - _H
-                       + np.arange(_H)[None, :], 0, s - 1).reshape(-1)
-    idx_next = np.clip((np.arange(n_tiles)[:, None] + 1) * s_t
-                       + np.arange(_H)[None, :], 0, s - 1).reshape(-1)
-    prev = xp[:, idx_prev, :].reshape(bsz, n_tiles * _H, pc)
-    nxt = xp[:, idx_next, :].reshape(bsz, n_tiles * _H, pc)
-
-    kernel = _make_packed_kernel(s_t, p, c)
+    # Halo rows come from xp itself as neighbor blocks of height _H (s_t is
+    # always a multiple of _H=8), clamped at the sequence ends — no XLA-side
+    # gather strips. Whatever content the clamped edge blocks carry, only
+    # the first/last _PATCH unpacked outputs can see it, and those are
+    # recomputed exactly below.
+    r_h = s_t // _H
     y = pl.pallas_call(
-        kernel,
+        _make_packed_kernel(s_t, p, c),
         out_shape=jax.ShapeDtypeStruct((bsz, s, pc), xp.dtype),
         grid=(bsz, n_tiles),
         in_specs=[
             pl.BlockSpec((1, s_t, pc), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _H, pc), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, _H, pc),
+                         lambda b, i: (b, jnp.maximum(i * r_h - 1, 0), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _H, pc), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, _H, pc),
+                         lambda b, i: (b, jnp.minimum((i + 1) * r_h,
+                                                      s // _H - 1), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, pc), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -556,7 +574,7 @@ def packed_snake_activation1d(xp: jax.Array, alpha: jax.Array,
         out_specs=pl.BlockSpec((1, s_t, pc), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xp, prev, nxt, ab)
+    )(xp, xp, xp, ab)
 
     return _patch_edges_packed(y, xp, alpha, beta, logscale, p, c)
 
@@ -754,14 +772,26 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
     bb = (jnp.exp(beta) if logscale else beta) if beta is not None else a_
     ab = jnp.stack([jnp.tile(a_, p), jnp.tile(bb, p)]).astype(jnp.float32)
 
-    # halo strips at packed-row granularity (clamped; the kernel masks
-    # out-of-sequence rows itself for the conv's zero padding)
-    ip = np.clip(np.arange(n_tiles)[:, None] * s_t - hl8
-                 + np.arange(hl8)[None, :], 0, s - 1).reshape(-1)
-    inx = np.clip((np.arange(n_tiles)[:, None] + 1) * s_t
-                  + np.arange(hr8)[None, :], 0, s - 1).reshape(-1)
-    prev = xp[:, ip, :].reshape(bsz, n_tiles * hl8, pcin)
-    nxt = xp[:, inx, :].reshape(bsz, n_tiles * hr8, pcin)
+    # Halo rows as neighbor blocks of xp when the tile height divides into
+    # them (the kernel masks out-of-sequence ACT rows itself for the conv's
+    # zero padding, and the act's edge content is recomputed exactly by the
+    # patch step); XLA gather strips only as a fallback.
+    blocked = s_t % hl8 == 0 and s_t % hr8 == 0 and n_tiles > 1
+    if blocked:
+        prev = nxt = xp
+        rp, rn = s_t // hl8, s_t // hr8
+        prev_spec = lambda b_, i: (b_, jnp.maximum(i * rp - 1, 0), 0)
+        nxt_spec = lambda b_, i: (
+            b_, jnp.minimum((i + 1) * rn, s // hr8 - 1), 0)
+    else:
+        ip = np.clip(np.arange(n_tiles)[:, None] * s_t - hl8
+                     + np.arange(hl8)[None, :], 0, s - 1).reshape(-1)
+        inx = np.clip((np.arange(n_tiles)[:, None] + 1) * s_t
+                      + np.arange(hr8)[None, :], 0, s - 1).reshape(-1)
+        prev = xp[:, ip, :].reshape(bsz, n_tiles * hl8, pcin)
+        nxt = xp[:, inx, :].reshape(bsz, n_tiles * hr8, pcin)
+        prev_spec = lambda b_, i: (b_, i, 0)
+        nxt_spec = lambda b_, i: (b_, i, 0)
 
     kernel = _make_act_conv_kernel(
         s_t, p, cin, cout, s_true, rel_offsets, hl8, pad_lo, pad_hi,
@@ -769,10 +799,8 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
     in_specs = [
         pl.BlockSpec((1, s_t, pcin), lambda b_, i: (b_, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hl8, pcin), lambda b_, i: (b_, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hr8, pcin), lambda b_, i: (b_, i, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hl8, pcin), prev_spec, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hr8, pcin), nxt_spec, memory_space=pltpu.VMEM),
         pl.BlockSpec((2, pcin), lambda b_, i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((len(rel_offsets), pcin, pcout),
