@@ -251,9 +251,10 @@ class AMPBlock1(nn.Module):
         # row slices, so fusing saves the act's HBM round-trip whenever the
         # weights fit VMEM (act_conv_fusable)
         if fuse and self.pallas_convs:
-            from ..ops.packed import act_conv_fusable, pallas_packed_act_conv1d
+            from ..ops.packed import act_conv_plan, pallas_packed_act_conv1d
             k = w.shape[0]
-            if act_conv_fusable(k, pad, dil, self.packed_p, self.channels):
+            cap = act_conv_plan(k, pad, dil, self.packed_p, self.channels)
+            if cap:
                 alpha, beta = act(x, return_params=True)
                 extras = tuple(extra_residuals) if extra_residuals else ()
                 res = (() if residual is None else (residual,)) + extras
@@ -261,7 +262,7 @@ class AMPBlock1(nn.Module):
                     x, alpha, beta, self.logscale, w.astype(self.dtype), b,
                     pad=pad, dilation=dil, p=self.packed_p,
                     residual=res or None, out_scale=out_scale,
-                    dot_dtype=self.conv_dtype or jnp.float32)
+                    dot_dtype=self.conv_dtype or jnp.float32, s_t_cap=cap)
         return self._conv(act(x), w, b, pad, dil, residual,
                           extra_residuals, out_scale)
 
@@ -291,6 +292,28 @@ class AMPBlock1(nn.Module):
             y = y + r
         return y if out_scale == 1.0 else y * out_scale
 
+    def _unit_fused(self, x, j, d, w, b, w2, b2, extras, scale):
+        """Whole [act -> conv1 -> act -> conv2 -> +x] dilation unit as ONE
+        Pallas kernel (ops/packed.py:pallas_packed_amp_unit); None when the
+        unit doesn't fit VMEM."""
+        from ..ops.packed import amp_unit_plan, pallas_packed_amp_unit
+        k = self.kernel_size
+        cap = amp_unit_plan(k, d, self.packed_p, self.channels)
+        if not cap:
+            return None
+        a1, be1 = Activation1d(self.channels, self.activation, self.logscale,
+                               self.fused, self.packed_p,
+                               name=f"act1_{j}")(x, return_params=True)
+        a2, be2 = Activation1d(self.channels, self.activation, self.logscale,
+                               self.fused, self.packed_p,
+                               name=f"act2_{j}")(x, return_params=True)
+        return pallas_packed_amp_unit(
+            x, a1, be1, a2, be2, self.logscale, w.astype(self.dtype), b,
+            w2.astype(self.dtype), b2, pad1=(k * d - d) // 2, dil1=d,
+            pad2=(k - 1) // 2, p=self.packed_p,
+            extra_residuals=extras or None, out_scale=scale,
+            dot_dtype=self.conv_dtype or jnp.float32, s_t_cap=cap)
+
     @nn.compact
     def __call__(self, x, extra_residuals=None, out_scale: float = 1.0):
         """``extra_residuals``/``out_scale`` apply to the LAST conv only:
@@ -302,14 +325,20 @@ class AMPBlock1(nn.Module):
             w = self.param(f"convs1_{j}_kernel", nn.initializers.lecun_normal(),
                            (k, self.channels, self.channels))
             b = self.param(f"convs1_{j}_bias", nn.initializers.zeros, (self.channels,))
-            xt = self._act_then_conv(x, f"act1_{j}", w, b, (k * d - d) // 2, d)
             w2 = self.param(f"convs2_{j}_kernel", nn.initializers.lecun_normal(),
                             (k, self.channels, self.channels))
             b2 = self.param(f"convs2_{j}_bias", nn.initializers.zeros, (self.channels,))
+            extras = extra_residuals if j == n_last else None
+            scale = out_scale if j == n_last else 1.0
+            if self.fuse_act_conv is True and self.pallas_convs:
+                y = self._unit_fused(x, j, d, w, b, w2, b2, extras, scale)
+                if y is not None:
+                    x = y
+                    continue
+            xt = self._act_then_conv(x, f"act1_{j}", w, b, (k * d - d) // 2, d)
             x = self._act_then_conv(
                 xt, f"act2_{j}", w2, b2, (k - 1) // 2, 1, residual=x,
-                extra_residuals=extra_residuals if j == n_last else None,
-                out_scale=out_scale if j == n_last else 1.0)
+                extra_residuals=extras, out_scale=scale)
         return x
 
 

@@ -124,6 +124,25 @@ def _round8(n: int) -> int:
     return -(-n // 8) * 8
 
 
+def pack_conv_kernel_nz(w: jax.Array, pad: int, dilation: int, p: int):
+    """Nonzero-taps-only packed weights: (wnz [Qnz, p*Cin, p*Cout],
+    rel_offsets, pad_lo, pad_hi). Equivalent to gathering the nonzero rows
+    of pack_conv_kernel's output, but never materializes the dense
+    [(k-1)*dilation+1, ...] tap tensor — at p=1 (where the packed weights
+    ARE the original taps) it is a no-op view of ``w``. This runs inside
+    the traced serving program on every call, so its cost is per-clip:
+    the dense einsum showed up at ~2 ms/clip in end-to-end traces."""
+    rel_offsets, nz_idx, pad_lo, pad_hi = _nonzero_taps(k := w.shape[0],
+                                                        pad, dilation, p)
+    if p == 1:
+        return w, rel_offsets, pad_lo, pad_hi
+    onehot, _, _ = _pack_conv_plan(k, pad, dilation, p)
+    cin, cout = w.shape[1], w.shape[2]
+    oh_nz = jnp.asarray(onehot[:, :, list(nz_idx), :])  # [k, p, Qnz, p]
+    wnz = jnp.einsum("jrqm,jio->qmiro", oh_nz, w)
+    return wnz.reshape(len(nz_idx), p * cin, p * cout), rel_offsets, pad_lo, pad_hi
+
+
 def _make_conv_kernel(offsets, s_t: int, p8: int, c_blk: int, dot_dtype,
                       n_res: int = 1, out_scale: float = 1.0,
                       n_tiles: int = 0):
@@ -183,9 +202,8 @@ def pallas_packed_conv1d(xp: jax.Array, w: jax.Array, b: Optional[jax.Array],
     assert pcin == p * cin, (xp.shape, w.shape, p)
     pcout = p * cout
 
-    rel_offsets, nz_idx, pad_lo, pad_hi = _nonzero_taps(k, pad, dilation, p)
-    wp, _, _ = pack_conv_kernel(w, pad, dilation, p)  # [Q, pC, pCout]
-    wnz = wp[jnp.asarray(nz_idx)].astype(dot_dtype)   # [Qnz, pC, pCout]
+    wnz, rel_offsets, pad_lo, pad_hi = pack_conv_kernel_nz(w, pad, dilation, p)
+    wnz = wnz.astype(dot_dtype)                       # [Qnz, pC, pCout]
     bias = b if b is None else jnp.tile(b, p)
     return _pallas_conv_rows(xp, wnz, rel_offsets, pad_lo, pad_hi, bias,
                              _as_residual_tuple(residual), out_scale,
@@ -376,18 +394,21 @@ def pallas_packed_conv_transpose1d(xp: jax.Array, wt: jax.Array,
         "packed transposed conv requires (T-1)*u - 2*pad + k == u*T; "
         f"got u={stride} pad={padding} k={k}")
 
-    wp, pad_lo, pad_hi, g_i, g_o = pack_convt_kernel(
-        wt, stride=stride, padding=padding, p_in=p_in, p_out=p_out)
+    # super-row geometry + nonzero taps only (the dense scatter would
+    # materialize an [nq, G_i*Cin, G_o*Cout] tensor per call)
+    num, den = stride * p_in, p_out
+    g = math.gcd(num, den)
+    g_o, g_i = num // g, den // g
+    G_i, G_o = g_i * p_in, g_o * p_out
+    onehot, pad_lo, pad_hi = _convt_plan(k, stride, padding, G_i, G_o)
+    nz = np.flatnonzero(onehot.sum(axis=(0, 1, 3)) > 0)
+    oh_nz = jnp.asarray(onehot[:, :, nz, :])  # [k, G_o, Qnz, G_i]
+    wnz = jnp.einsum("jrqm,joi->qmiro", oh_nz, wt)
+    wnz = wnz.reshape(len(nz), G_i * cin, G_o * cout)
+    offsets = tuple(int(q) - pad_lo for q in nz)
     assert s_in % g_i == 0, (s_in, g_i)
     n_super = s_in // g_i
     s_out = n_super * g_o
-
-    # drop all-zero taps (MXU work scales with tap count)
-    onehot, _, _ = _convt_plan(k, stride, padding, g_i * p_in,
-                               g_o * p_out)
-    nz = np.flatnonzero(onehot.sum(axis=(0, 1, 3)) > 0)
-    wnz = wp[jnp.asarray(nz)]
-    offsets = tuple(int(q) - pad_lo for q in nz)
 
     xs = xp.reshape(bsz, n_super, g_i * pcin)
     residuals = tuple(
@@ -674,19 +695,30 @@ def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
     return kernel
 
 
-def act_conv_fusable(k: int, pad: int, dilation: int, p: int, c: int,
-                     budget_bytes: int = 6 * 2**20) -> bool:
-    """True when the fused kernel's full-cout weight block fits VMEM.
+def act_conv_plan(k: int, pad: int, dilation: int, p: int, c: int) -> int:
+    """Time-tile cap for the fused act->conv kernel, 0 = not fusable.
 
-    The budget is the WEIGHT bytes only, set to 6 MiB to leave headroom
-    for the kernel's VMEM-resident act working set (ext window + up to six
-    cached lane-rolls of ext/se/so + the act output + out/residual blocks,
-    a few MiB at s_t=256) inside the ~16 MiB core VMEM. p=1 is allowed:
-    there every act shift is a pure row slice (no rolls/selects), so the
-    fusion saves the act round-trip at no shift cost — profitable for the
-    C=384 stage (k=7: 4.1 MiB); C=768 never fits (k=3 is already 7.1 MiB)."""
+    The kernel's VMEM footprint is weights (full-cout block, resident) +
+    the act working set (ext window + up to six cached lane-rolls of
+    ext/se/so + the act output + out/residual blocks), and the act set
+    scales with the time tile. Pairs whose weights fit 6 MiB run at the
+    measured-optimal cap 256; heavier pairs (stage-1 k=3 at 7.1 MiB,
+    stage-2/3 k=11 at 6.5 MiB) still win fused at cap 128 — the saved
+    full-array act round-trip outweighs the extra per-tile act halo
+    recompute. Beyond 12 MiB (stage-1 k=7/11) nothing fits. p=1 is
+    fusable too: there every act shift is a pure row slice."""
     rel_offsets, _, _, _ = _nonzero_taps(k, pad, dilation, p)
-    return len(rel_offsets) * (p * c) * (p * c) * 4 <= budget_bytes
+    wbytes = len(rel_offsets) * (p * c) * (p * c) * 4
+    if wbytes <= 6 * 2**20:
+        return 256
+    if wbytes <= 12 * 2**20:
+        return 128
+    return 0
+
+
+def act_conv_fusable(k: int, pad: int, dilation: int, p: int, c: int) -> bool:
+    """True when the fused act->conv kernel fits VMEM (see act_conv_plan)."""
+    return act_conv_plan(k, pad, dilation, p, c) > 0
 
 
 def pallas_packed_act_conv1d(xp: jax.Array, alpha: jax.Array,
@@ -756,16 +788,14 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
     k, cin, cout = w.shape
     pc, pcout = p * cin, p * cout
     n_tiles = s // s_t
-    rel_offsets, nz_idx, pad_lo, pad_hi = _nonzero_taps(k, pad, dilation, p)
+    wnz, rel_offsets, pad_lo, pad_hi = pack_conv_kernel_nz(w, pad, dilation, p)
+    wnz = wnz.astype(dot_dtype)
     # the act body reads x rows up to 2*ceil(3/p) beyond the conv's own
     # [pad_lo, pad_hi] reach (see _act_rows): +-6 at p=1, +-4 at p=2, +-2
     # at p>=4
     e2 = 2 * -(-3 // p)
     hl8 = _round8(pad_lo + e2)
     hr8 = _round8(pad_hi + e2)
-
-    wp, _, _ = pack_conv_kernel(w, pad, dilation, p)
-    wnz = wp[jnp.asarray(nz_idx)].astype(dot_dtype)
     bias = (jnp.tile(b, p) if b is not None
             else jnp.zeros((pcout,), jnp.float32)).reshape(1, pcout)
     a_ = jnp.exp(alpha) if logscale else alpha
@@ -868,5 +898,291 @@ def _patch_edges_act_conv(y, xp, s_true, alpha, beta, logscale, w, b, pad,
     tail = unpack_time(y[:, end_row - rows : end_row, :], p)
     tail = jax.lax.dynamic_update_slice_in_dim(
         tail, right_y.astype(y.dtype), rows * p - _PATCH_OUT, axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(
+        y, pack_time(tail, p), end_row - rows, axis=1)
+
+
+# --- fused AMP unit: act -> conv -> act -> conv (+residual) in ONE kernel ------
+#
+# Each AMPBlock1 dilation unit is the chain x -> act1 -> conv1(k, d) -> act2
+# -> conv2(k, 1) -> (+x [+extras]) * scale (reference: bigvgan/models.py:
+# 63-71). Fusing the whole unit keeps BOTH intermediates (act1 output and
+# conv1 output) in VMEM — one more full feature-map HBM round-trip saved per
+# unit on top of the act->conv pair fusion — and the unit's own residual is
+# the kernel's input block, so it costs no extra HBM read. Numerics are the
+# exact same f32 dots and act math as the two fused pairs it replaces.
+
+
+def _unit_geometry(k1: int, pad1: int, dil1: int, k2: int, pad2: int,
+                   dil2: int, p: int):
+    off1, _, pl1, ph1 = _nonzero_taps(k1, pad1, dil1, p)
+    off2, _, pl2, ph2 = _nonzero_taps(k2, pad2, dil2, p)
+    e2 = 2 * -(-3 // p)  # act x-reach in packed rows (see _act_rows)
+    hl8 = _round8(pl1 + pl2 + 2 * e2)
+    hr8 = _round8(ph1 + ph2 + 2 * e2)
+    return off1, pl1, ph1, off2, pl2, ph2, e2, hl8, hr8
+
+
+def amp_unit_plan(k: int, dil1: int, p: int, c: int) -> int:
+    """Time-tile cap for the fused AMP-unit kernel, 0 = not fusable.
+
+    Both convs' full-cout weight blocks must sit in VMEM alongside two act
+    working sets and the conv1 intermediate. Thresholds mirror
+    act_conv_plan's, tightened for the extra resident state."""
+    pad1 = (k * dil1 - dil1) // 2
+    pad2 = (k - 1) // 2
+    n1 = len(_nonzero_taps(k, pad1, dil1, p)[0])
+    n2 = len(_nonzero_taps(k, pad2, 1, p)[0])
+    wbytes = (n1 + n2) * (p * c) * (p * c) * 4
+    if wbytes <= 6 * 2**20:
+        return 256
+    if wbytes <= 11 * 2**20:
+        return 128
+    return 0
+
+
+def _make_amp_unit_kernel(s_t: int, p: int, c: int, s_true: int,
+                          off1, pl1: int, ph1: int, off2, pl2: int,
+                          ph2: int, e2: int, hl8: int, dot_dtype,
+                          n_res: int, out_scale: float):
+    import jax.experimental.pallas as pl
+
+    pc = p * c
+    # conv1 output rows needed by act2 (act2 output rows [-pl2, s_t+ph2)
+    # read conv1 rows a further e2 beyond); act1 rows needed by conv1.
+    t_lo = -(pl2 + e2)
+    n_t = s_t + pl2 + ph2 + 2 * e2
+    a1_lo = t_lo - pl1
+    n_a1 = n_t + pl1 + ph1
+
+    def kernel(cur_ref, prev_ref, nxt_ref, ab1_ref, w1_ref, b1_ref,
+               ab2_ref, w2_ref, b2_ref, *rest):
+        res_refs, out_ref = rest[:-1], rest[-1]
+        ext = jnp.concatenate(
+            [prev_ref[0].astype(jnp.float32),
+             cur_ref[0].astype(jnp.float32),
+             nxt_ref[0].astype(jnp.float32)], axis=0)  # rows -hl8 .. s_t+hr8
+
+        i = pl.program_id(1)
+        a1 = _act_rows(ext, -hl8, ab1_ref[0, :], ab1_ref[1, :], p, c,
+                       a1_lo, n_a1)
+        grow1 = i * s_t + a1_lo + jax.lax.broadcasted_iota(
+            jnp.int32, (n_a1, pc), 0)
+        a1 = jnp.where((grow1 >= 0) & (grow1 < s_true), a1, 0.0)
+        a1 = a1.astype(dot_dtype)
+
+        t = jnp.zeros((n_t, pc), jnp.float32)
+        for qi, off in enumerate(off1):
+            t = t + jax.lax.dot_general(
+                a1[off + pl1 : off + pl1 + n_t, :], w1_ref[qi],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        t = t + b1_ref[0, :].astype(jnp.float32)
+
+        a2 = _act_rows(t, t_lo, ab2_ref[0, :], ab2_ref[1, :], p, c,
+                       -pl2, s_t + pl2 + ph2)
+        grow2 = i * s_t - pl2 + jax.lax.broadcasted_iota(
+            jnp.int32, (s_t + pl2 + ph2, pc), 0)
+        a2 = jnp.where((grow2 >= 0) & (grow2 < s_true), a2, 0.0)
+        a2 = a2.astype(dot_dtype)
+
+        acc = jnp.zeros((s_t, pc), jnp.float32)
+        for qi, off in enumerate(off2):
+            acc = acc + jax.lax.dot_general(
+                a2[off + pl2 : off + pl2 + s_t, :], w2_ref[qi],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc = acc + b2_ref[0, :].astype(jnp.float32)
+        acc = acc + cur_ref[0].astype(jnp.float32)  # the unit's residual
+        for res_ref in res_refs:
+            acc = acc + res_ref[0].astype(jnp.float32)
+        if out_scale != 1.0:
+            acc = acc * out_scale
+        out_ref[0, :, :] = acc.astype(out_ref.dtype)
+
+    return kernel
+
+
+def pallas_packed_amp_unit(xp: jax.Array, alpha1: jax.Array, beta1,
+                           alpha2: jax.Array, beta2, logscale: bool,
+                           w1: jax.Array, b1, w2: jax.Array, b2, *,
+                           pad1: int, dil1: int, pad2: int, p: int,
+                           extra_residuals=None, out_scale: float = 1.0,
+                           dot_dtype=jnp.float32, interpret: bool = False,
+                           s_t_cap: int = 128) -> jax.Array:
+    """One kernel computing ``out_scale * (conv2(act2(conv1(act1(xp)))) +
+    xp + sum(extra_residuals))`` — a whole AMPBlock1 dilation unit. Equals
+    the two fused act->conv pairs it replaces with both intermediates in
+    VMEM. The first/last patch of unpacked outputs is recomputed exactly
+    with the unfused composition."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.default_backend() != "tpu"
+    bsz, s, pcin = xp.shape
+    k1, cin, cout = w1.shape
+    assert pcin == p * cin and cin == cout and w2.shape[1] == cin
+    residuals = _as_residual_tuple(extra_residuals)
+    pc = p * cin
+
+    off1, pl1, ph1, off2, pl2, ph2, e2, hl8, hr8 = _unit_geometry(
+        k1, pad1, dil1, w2.shape[0], pad2, 1, p)
+    # edge contamination reach of the composed unit, in unpacked samples
+    patch_out = p * (max(pl1 + pl2, ph1 + ph2) + 2 * e2) + 16
+    ctx_u = patch_out + (k1 - 1) * dil1 // 2 + (w2.shape[0] - 1) // 2 + 40
+
+    def unfused(u, res):
+        a = pallas_packed_act_conv1d(
+            u, alpha1, beta1, logscale, w1, b1, pad=pad1, dilation=dil1,
+            p=p, dot_dtype=dot_dtype, interpret=interpret)
+        return pallas_packed_act_conv1d(
+            a, alpha2, beta2, logscale, w2, b2, pad=pad2, dilation=1, p=p,
+            residual=(u,) + res, out_scale=out_scale,
+            dot_dtype=dot_dtype, interpret=interpret)
+
+    if s * p < 2 * ctx_u + 2 * patch_out:  # too short to patch: go unfused
+        return unfused(xp, residuals)
+
+    s_t = _pick_rows(s, cap=s_t_cap)
+    if s_t == 0:  # pad rows; the kernel masks by the TRUE length
+        s_pad = -(-max(64, s) // 8) * 8
+        xq = jnp.pad(xp, ((0, 0), (0, s_pad - s), (0, 0)))
+        rq = tuple(jnp.pad(r, ((0, 0), (0, s_pad - s), (0, 0)))
+                   for r in residuals)
+        return _amp_unit_core(
+            xq, s, alpha1, beta1, alpha2, beta2, logscale, w1, b1, w2, b2,
+            pad1, dil1, pad2, p, rq, out_scale, dot_dtype, interpret,
+            _pick_rows(s_pad, cap=s_t_cap), patch_out, ctx_u)[:, :s, :]
+    return _amp_unit_core(xp, s, alpha1, beta1, alpha2, beta2, logscale,
+                          w1, b1, w2, b2, pad1, dil1, pad2, p, residuals,
+                          out_scale, dot_dtype, interpret, s_t, patch_out,
+                          ctx_u)
+
+
+def _amp_unit_core(xp, s_true, alpha1, beta1, alpha2, beta2, logscale,
+                   w1, b1, w2, b2, pad1, dil1, pad2, p, residuals,
+                   out_scale, dot_dtype, interpret, s_t, patch_out, ctx_u):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, s, pcin = xp.shape
+    k1, cin, cout = w1.shape
+    pc = p * cin
+    n_tiles = s // s_t
+    off1, pl1, ph1, off2, pl2, ph2, e2, hl8, hr8 = _unit_geometry(
+        k1, pad1, dil1, w2.shape[0], pad2, 1, p)
+
+    wnz1, _, _, _ = pack_conv_kernel_nz(w1, pad1, dil1, p)
+    wnz2, _, _, _ = pack_conv_kernel_nz(w2, pad2, 1, p)
+    bias1 = (jnp.tile(b1, p) if b1 is not None
+             else jnp.zeros((pc,), jnp.float32)).reshape(1, pc)
+    bias2 = (jnp.tile(b2, p) if b2 is not None
+             else jnp.zeros((pc,), jnp.float32)).reshape(1, pc)
+
+    def ab_of(alpha, beta):
+        a_ = jnp.exp(alpha) if logscale else alpha
+        bb = (jnp.exp(beta) if logscale else beta) if beta is not None else a_
+        return jnp.stack([jnp.tile(a_, p), jnp.tile(bb, p)]).astype(jnp.float32)
+
+    ab1, ab2 = ab_of(alpha1, beta1), ab_of(alpha2, beta2)
+
+    blocked = s_t % hl8 == 0 and s_t % hr8 == 0 and n_tiles > 1
+    if blocked:
+        prev = nxt = xp
+        rp, rn = s_t // hl8, s_t // hr8
+        prev_spec = lambda b_, i: (b_, jnp.maximum(i * rp - 1, 0), 0)
+        nxt_spec = lambda b_, i: (
+            b_, jnp.minimum((i + 1) * rn, s // hr8 - 1), 0)
+    else:
+        ip = np.clip(np.arange(n_tiles)[:, None] * s_t - hl8
+                     + np.arange(hl8)[None, :], 0, s - 1).reshape(-1)
+        inx = np.clip((np.arange(n_tiles)[:, None] + 1) * s_t
+                      + np.arange(hr8)[None, :], 0, s - 1).reshape(-1)
+        prev = xp[:, ip, :].reshape(bsz, n_tiles * hl8, pcin)
+        nxt = xp[:, inx, :].reshape(bsz, n_tiles * hr8, pcin)
+        prev_spec = lambda b_, i: (b_, i, 0)
+        nxt_spec = lambda b_, i: (b_, i, 0)
+
+    kernel = _make_amp_unit_kernel(
+        s_t, p, cin, s_true, off1, pl1, ph1, off2, pl2, ph2, e2, hl8,
+        dot_dtype, len(residuals), out_scale)
+    in_specs = [
+        pl.BlockSpec((1, s_t, pcin), lambda b_, i: (b_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hl8, pcin), prev_spec, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hr8, pcin), nxt_spec, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, pcin), lambda b_, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((len(off1), pcin, pc), lambda b_, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pc), lambda b_, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, pcin), lambda b_, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((len(off2), pcin, pc), lambda b_, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pc), lambda b_, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xp, prev, nxt, ab1, wnz1.astype(dot_dtype), bias1,
+            ab2, wnz2.astype(dot_dtype), bias2]
+    for r in residuals:
+        in_specs.append(pl.BlockSpec((1, s_t, pc),
+                                     lambda b_, i: (b_, i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(r)
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, s, pc), xp.dtype),
+        grid=(bsz, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, s_t, pc), lambda b_, i: (b_, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+    return _patch_edges_amp_unit(
+        y, xp, s_true, alpha1, beta1, alpha2, beta2, logscale, w1, b1,
+        w2, b2, pad1, dil1, pad2, p, residuals, out_scale, patch_out, ctx_u)
+
+
+def _patch_edges_amp_unit(y, xp, s_true, alpha1, beta1, alpha2, beta2,
+                          logscale, w1, b1, w2, b2, pad1, dil1, pad2, p,
+                          residuals, out_scale, patch_out, ctx_u):
+    """Recompute the first/last ``patch_out`` unpacked unit outputs exactly
+    with the unfused composition on small unpacked slices."""
+    from ..models.bigvgan import conv1d
+
+    ctx = min(-(-ctx_u // p) + 2, s_true)
+
+    def exact(x_slice, res_slices, take_head: bool):
+        a1 = _reference_act(x_slice, alpha1, beta1, logscale)
+        t = conv1d(a1, w1, b1, padding=pad1, dilation=dil1)
+        a2 = _reference_act(t, alpha2, beta2, logscale)
+        y_u = conv1d(a2, w2, b2, padding=pad2, dilation=1) + x_slice
+        for r in res_slices:
+            y_u = y_u + r
+        if out_scale != 1.0:
+            y_u = y_u * out_scale
+        return (y_u[:, :patch_out, :] if take_head
+                else y_u[:, -patch_out:, :])
+
+    left_x = unpack_time(xp[:, :ctx, :], p)
+    right_x = unpack_time(xp[:, s_true - ctx : s_true, :], p)
+    left_r = tuple(unpack_time(r[:, :ctx, :], p) for r in residuals)
+    right_r = tuple(unpack_time(r[:, s_true - ctx : s_true, :], p)
+                    for r in residuals)
+    left_y = exact(left_x, left_r, True)
+    right_y = exact(right_x, right_r, False)
+
+    rows = -(-patch_out // p)
+    head = unpack_time(y[:, :rows, :], p)
+    head = jax.lax.dynamic_update_slice_in_dim(
+        head, left_y.astype(y.dtype), 0, axis=1)
+    y = jax.lax.dynamic_update_slice_in_dim(y, pack_time(head, p), 0, axis=1)
+
+    end_row = s_true
+    tail = unpack_time(y[:, end_row - rows : end_row, :], p)
+    tail = jax.lax.dynamic_update_slice_in_dim(
+        tail, right_y.astype(y.dtype), rows * p - patch_out, axis=1)
     return jax.lax.dynamic_update_slice_in_dim(
         y, pack_time(tail, p), end_row - rows, axis=1)

@@ -267,6 +267,8 @@ class TestFusedActConv:
     @pytest.mark.parametrize("p,c,k,d", [
         (8, 48, 3, 1), (8, 48, 11, 5), (4, 96, 7, 3), (2, 192, 3, 1),
         (1, 384, 7, 3), (1, 384, 3, 1),
+        # heavy pairs newly eligible at the reduced 128-row tile cap
+        (2, 192, 11, 3), (2, 192, 11, 5), (1, 384, 11, 1),
     ])
     def test_matches_unfused(self, rng, p, c, k, d):
         from flowhigh_tpu.ops.packed import (pallas_packed_act_conv1d,
@@ -304,12 +306,48 @@ class TestFusedActConv:
                                    atol=2e-4, rtol=1e-4)
 
     def test_fusable_predicate(self):
-        from flowhigh_tpu.ops.packed import act_conv_fusable
-        assert act_conv_fusable(11, 25, 5, 8, 48)     # stage 5: always
-        assert act_conv_fusable(3, 1, 1, 2, 192)      # small kernels fit
-        assert not act_conv_fusable(11, 25, 5, 2, 192)  # 22 taps x 384x384
-        assert act_conv_fusable(7, 9, 3, 1, 384)      # p=1, C=384: 4.1 MiB
-        assert not act_conv_fusable(3, 1, 1, 1, 768)  # p=1, C=768: 7.1 MiB
+        from flowhigh_tpu.ops.packed import act_conv_fusable, act_conv_plan
+        assert act_conv_plan(11, 25, 5, 8, 48) == 256    # stage 5: always
+        assert act_conv_plan(3, 1, 1, 2, 192) == 256     # small kernels fit
+        assert act_conv_plan(7, 9, 3, 1, 384) == 256     # p=1, C=384: 3.9 MiB
+        # heavy-but-fitting pairs fuse at the reduced tile cap
+        assert act_conv_plan(3, 1, 1, 1, 768) == 128     # s1 k=3: 6.8 MiB
+        assert act_conv_plan(11, 5, 1, 1, 384) == 128    # s2 k=11: 6.2 MiB
+        assert act_conv_plan(11, 15, 3, 2, 192) == 128   # s3 k=11 d=3: 9.6 MiB
+        assert act_conv_plan(11, 25, 5, 2, 192) == 128   # s3 k=11 d=5: 9.6 MiB
+        assert not act_conv_fusable(7, 9, 3, 1, 768)     # s1 k=7: 15.8 MiB
+
+    @pytest.mark.parametrize("p,c,k,d,s", [
+        (8, 48, 11, 5, 256), (8, 48, 3, 1, 256), (4, 96, 7, 3, 256),
+        (2, 192, 7, 3, 256), (1, 384, 3, 1, 512),
+        (8, 48, 7, 3, 96),   # short input -> unfused fallback path
+    ])
+    def test_amp_unit_matches_pairs(self, rng, p, c, k, d, s):
+        from flowhigh_tpu.ops.packed import (pallas_packed_act_conv1d,
+                                             pallas_packed_amp_unit)
+        xp = jnp.asarray(rng.standard_normal((1, s, p * c)).astype(np.float32) * 0.4)
+        a1 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.2)
+        be1 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.2)
+        a2 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.2)
+        be2 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.2)
+        w1 = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+        res = jnp.asarray(rng.standard_normal((1, s, p * c)).astype(np.float32) * 0.2)
+        pad1, pad2 = (k * d - d) // 2, (k - 1) // 2
+
+        t = pallas_packed_act_conv1d(xp, a1, be1, True, w1, b1, pad=pad1,
+                                     dilation=d, p=p, interpret=True)
+        ref = pallas_packed_act_conv1d(t, a2, be2, True, w2, b2, pad=pad2,
+                                       dilation=1, p=p, residual=(xp, res),
+                                       out_scale=1.0 / 3, interpret=True)
+        got = pallas_packed_amp_unit(xp, a1, be1, a2, be2, True, w1, b1,
+                                     w2, b2, pad1=pad1, dil1=d, pad2=pad2,
+                                     p=p, extra_residuals=res,
+                                     out_scale=1.0 / 3, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-4, rtol=2e-4)
 
     def test_full_generator_with_fusion(self, rng):
         import jax
