@@ -321,6 +321,7 @@ class TestFusedActConv:
         (8, 48, 11, 5, 256), (8, 48, 3, 1, 256), (4, 96, 7, 3, 256),
         (2, 192, 7, 3, 256), (1, 384, 3, 1, 512),
         (8, 48, 7, 3, 96),   # short input -> unfused fallback path
+        (8, 48, 3, 1, 250),  # indivisible row count -> padded-rows path
     ])
     def test_amp_unit_matches_pairs(self, rng, p, c, k, d, s):
         from flowhigh_tpu.ops.packed import (pallas_packed_act_conv1d,
