@@ -126,12 +126,14 @@ def stft(
     x: jax.Array,
     n_fft: int = 2048,
     hop_length: int = 480,
-    win_length: int = 2048,
+    win_length: int | None = None,
     center: bool = True,
     pad_mode: str = "reflect",
     window: str = "hann",
 ) -> jax.Array:
     """Complex STFT [..., T] -> [..., F_bins, frames] (onesided).
+
+    ``win_length`` defaults to ``n_fft`` (scipy/torch convention).
 
     ``center=False`` applies *melvoco-style* reflect padding of
     ``(n_fft - hop) // 2`` per side first (so that a caller who wants truly
@@ -141,6 +143,8 @@ def stft(
     Implemented as one strided conv against a windowed-DFT kernel (MXU) —
     see _dft_analysis_kernel for why not gather + rfft.
     """
+    if win_length is None:
+        win_length = n_fft
     assert win_length <= n_fft
     x = x.astype(jnp.float32)
     x = _pad_signal(x, n_fft, hop_length, center, pad_mode)
@@ -175,7 +179,7 @@ def stft_magnitude(
     x: jax.Array,
     n_fft: int = 2048,
     hop_length: int = 480,
-    win_length: int = 2048,
+    win_length: int | None = None,
     center: bool = True,
     pad_mode: str = "reflect",
     eps: float = 0.0,
@@ -190,10 +194,11 @@ def istft(
     spec: jax.Array,
     n_fft: int = 2048,
     hop_length: int = 480,
-    win_length: int = 2048,
+    win_length: int | None = None,
     length: int | None = None,
 ) -> jax.Array:
     """Inverse STFT with overlap-add, ``center=True`` convention.
+    ``win_length`` defaults to ``n_fft`` (scipy/torch convention).
 
     ``spec``: complex [..., bins, frames]. Matches ``torch.istft`` semantics:
     windowed overlap-add normalized by the window-square envelope, then the
@@ -203,6 +208,8 @@ def istft(
     scatter-add OLA lowers to a ~18 ms 1-D fusion on TPU); the window-square
     envelope is a trace-time numpy constant.
     """
+    if win_length is None:
+        win_length = n_fft
     bins = n_fft // 2 + 1
     spec = jnp.swapaxes(spec, -1, -2)  # [..., frames, bins]
     n_frames = spec.shape[-2]
@@ -238,14 +245,18 @@ def istft(
         env[f * hop_length : f * hop_length + n_fft] += win * win
     sig = sig / jnp.asarray(np.maximum(env, 1e-11))
 
-    # trim center padding
+    # trim the FRONT center padding only, then cut/pad to ``length`` (torch
+    # semantics). A symmetric trim (out_len - pad) drops real tail samples
+    # whenever hop does not divide the signal length evenly — the final
+    # frame extends past length + pad, and those samples are data, not pad.
     pad = n_fft // 2
-    sig = sig[..., pad : out_len - pad]
-    if length is not None:
-        cur = sig.shape[-1]
-        if cur >= length:
-            sig = sig[..., :length]
-        else:
-            cfg = [(0, 0)] * (sig.ndim - 1) + [(0, length - cur)]
-            sig = jnp.pad(sig, cfg)
+    sig = sig[..., pad:]
+    if length is None:
+        length = out_len - 2 * pad
+    cur = sig.shape[-1]
+    if cur >= length:
+        sig = sig[..., :length]
+    else:
+        cfg = [(0, 0)] * (sig.ndim - 1) + [(0, length - cur)]
+        sig = jnp.pad(sig, cfg)
     return sig

@@ -944,7 +944,7 @@ def amp_unit_plan(k: int, dil1: int, p: int, c: int) -> int:
 def _make_amp_unit_kernel(s_t: int, p: int, c: int, s_true: int,
                           off1, pl1: int, ph1: int, off2, pl2: int,
                           ph2: int, e2: int, hl8: int, dot_dtype,
-                          n_res: int, out_scale: float):
+                          out_scale: float):
     import jax.experimental.pallas as pl
 
     pc = p * c
@@ -1015,9 +1015,6 @@ def pallas_packed_amp_unit(xp: jax.Array, alpha1: jax.Array, beta1,
     the two fused act->conv pairs it replaces with both intermediates in
     VMEM. The first/last patch of unpacked outputs is recomputed exactly
     with the unfused composition."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     interpret = interpret or jax.default_backend() != "tpu"
     bsz, s, pcin = xp.shape
     k1, cin, cout = w1.shape
@@ -1105,7 +1102,7 @@ def _amp_unit_core(xp, s_true, alpha1, beta1, alpha2, beta2, logscale,
 
     kernel = _make_amp_unit_kernel(
         s_t, p, cin, s_true, off1, pl1, ph1, off2, pl2, ph2, e2, hl8,
-        dot_dtype, len(residuals), out_scale)
+        dot_dtype, out_scale)
     in_specs = [
         pl.BlockSpec((1, s_t, pcin), lambda b_, i: (b_, i, 0),
                      memory_space=pltpu.VMEM),

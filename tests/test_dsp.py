@@ -61,6 +61,25 @@ class TestSTFT:
         # and it reconstructs the signal
         np.testing.assert_allclose(got[:, 2048:-2048], x[:, 2048:-2048], atol=1e-4)
 
+    def test_istft_tail_when_hop_divides_unevenly(self, rng):
+        # regression: a symmetric center-pad trim dropped real tail samples
+        # (zero-padded back) whenever hop did not divide the length evenly;
+        # torch trims the front pad then cuts to `length`.
+        for t_len, n_fft, hop in ((48001, 2048, 480), (48000, 1024, 256),
+                                  (12345, 512, 120)):
+            x = rng.standard_normal((1, t_len)).astype(np.float32)
+            win = torch.hann_window(n_fft)
+            spec = torch.stft(torch.from_numpy(x), n_fft, hop, n_fft,
+                              window=win, center=True, pad_mode="constant",
+                              return_complex=True)
+            ref = torch.istft(spec, n_fft, hop, n_fft, window=win,
+                              length=t_len).numpy()
+            got = np.asarray(istft(jnp.asarray(spec.numpy()), n_fft, hop,
+                                   length=t_len))
+            np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+            # the tail is real data, not zeros
+            np.testing.assert_allclose(got[:, -hop:], x[:, -hop:], atol=1e-4)
+
     def test_magnitude_eps(self, rng):
         x = rng.standard_normal((1, 9600)).astype(np.float32)
         m = stft_magnitude(jnp.asarray(x), center=False, pad_mode="reflect", eps=1e-9)
