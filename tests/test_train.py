@@ -445,7 +445,8 @@ class TestGradAccum:
         assert changed
         assert np.isfinite(float(m2["loss"]))
 
-    def test_schedule_counts_updates_not_microsteps(self, tiny_batch):
+    def test_schedule_counts_updates_not_microsteps(self, tiny_batch,
+                                                    tmp_path):
         """VERDICT r2 weak #3: with grad_accum_every=k, lr/schedule/step
         accounting must run in optimizer UPDATES. fit(num_steps=N) consumes
         N*k micro-batches, applies N updates, logs step=update index with
@@ -456,7 +457,8 @@ class TestGradAccum:
             batch_size=8, lr=1e-3, num_train_steps=3, num_warmup_steps=0,
             save_model_every=0, grad_accum_every=k))
         tr = Trainer(cfg, mesh=make_mesh(n_data=1, n_model=1),
-                     cfm_method="independent_cfm_adaptive")
+                     cfm_method="independent_cfm_adaptive",
+                     results_folder=tmp_path)
         state = tr.init_state(jax.random.PRNGKey(0))
 
         consumed = 0
