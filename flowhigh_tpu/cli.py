@@ -58,7 +58,11 @@ def cmd_infer(args) -> int:
     model.sigma = args.sigma
 
     audio, sr = load_wav_mono(args.input)
-    if args.streaming or len(audio) > 30 * sr:
+    if args.longform == "single_pass":
+        # full-context CFM (no chunk seams), vocoder chunked bit-exactly;
+        # pair with ModelConfig(attn_flash=True) on TPU for O(N) attention
+        out = model.generate_longform(audio, sr, timestep=args.time_step)
+    elif args.streaming or args.longform == "streaming" or len(audio) > 30 * sr:
         out = StreamingSR(model).generate(audio, sr, timestep=args.time_step)
     else:
         out = model.generate(audio, sr, timestep=args.time_step)
@@ -203,6 +207,11 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--n_layers", type=int, default=2)
     pi.add_argument("--streaming", action="store_true",
                     help="chunked overlap-add for long clips")
+    pi.add_argument("--longform", default=None,
+                    choices=["streaming", "single_pass"],
+                    help="long-clip strategy: chunked streaming (default "
+                         "for >30 s) or single-pass full-context CFM "
+                         "(seam-free; use attn_flash on TPU)")
     pi.add_argument("--tiny", action="store_true",
                     help="tiny random model (smoke tests)")
     pi.set_defaults(fn=cmd_infer)

@@ -146,6 +146,22 @@ class TestCLI:
         assert sr_out == 48000
         assert len(data) == n * 3
 
+    def test_infer_longform_single_pass(self, tmp_path, rng):
+        import flowhigh_tpu.cli as cli
+
+        sr_in, n = 16000, 16000
+        wav = (rng.standard_normal(n) * 0.2 * 32767).astype(np.int16)
+        inp = tmp_path / "in.wav"
+        outp = tmp_path / "out.wav"
+        wavfile.write(inp, sr_in, wav)
+        rc = cli.main(["infer", "--input", str(inp), "--output", str(outp),
+                       "--time_step", "1", "--ode_method", "euler",
+                       "--cfm_method", "independent_cfm_adaptive", "--tiny",
+                       "--longform", "single_pass"])
+        assert rc == 0
+        sr_out, data = wavfile.read(outp)
+        assert sr_out == 48000 and len(data) == n * 3
+
     def test_parser_surface(self):
         # the README-documented flag surface exists (reference README.md:69-78)
         import flowhigh_tpu.cli as cli
