@@ -564,9 +564,14 @@ def packed_snake_activation1d(xp: jax.Array, alpha: jax.Array,
         s_pad = -(-max(64, s) // 8) * 8
         last = xp[:, -1:, -c:]  # last unpacked sample [B, 1, C]
         fill = jnp.tile(last, (1, s_pad - s, p))
-        return packed_snake_activation1d(
+        y = packed_snake_activation1d(
             jnp.concatenate([xp, fill], axis=1), alpha, beta, logscale, p,
             interpret)[:, :s, :]
+        # the recursion patched edges at the PADDED tail (sliced off above);
+        # the TRUE tail still holds kernel output whose edge semantics
+        # differ (base-rate replicate fill vs the reference's 2x-rate
+        # snake-output replicate, ~last 3 samples) — re-patch vs original xp
+        return _patch_edges_packed(y, xp, alpha, beta, logscale, p, c)
     n_tiles = s // s_t
 
     # Halo rows come from xp itself as neighbor blocks of height _H (s_t is

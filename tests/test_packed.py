@@ -70,6 +70,26 @@ def test_packed_act_edges_and_awkward_rows(rng):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
 
+def test_packed_act_padded_rows_tail(rng):
+    # regression: an ODD row count (no multiple-of-8 divisor at all) takes
+    # the pad-rows path, whose recursion used to patch edges at the PADDED
+    # tail only — the true tail (~last 3 samples) kept kernel output with
+    # the wrong edge semantics (base-rate replicate fill vs the reference's
+    # 2x-rate snake-output replicate).
+    for p, s in ((1, 537), (4, 569), (8, 75)):
+        c = 48
+        xp = jnp.asarray(rng.standard_normal((1, s, p * c)).astype(np.float32) * 0.4)
+        alpha = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.2)
+        beta = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.2)
+        ref = np.asarray(packed_act_reference(xp, alpha, beta, True, p))
+        got = np.asarray(packed_snake_activation1d(xp, alpha, beta, True, p,
+                                                   interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+        # the tail specifically
+        np.testing.assert_allclose(got[:, -4:], ref[:, -4:], atol=2e-5,
+                                   rtol=1e-4)
+
+
 def test_packed_act_no_beta(rng):
     x = jnp.asarray(rng.standard_normal((1, 512, 96)).astype(np.float32))
     alpha = jnp.asarray(rng.standard_normal(96).astype(np.float32) * 0.2)
