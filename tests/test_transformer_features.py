@@ -321,6 +321,19 @@ class TestFlashKernelInterpret:
         np.testing.assert_allclose(np.asarray(out)[:, :, :valid],
                                    np.asarray(ref), atol=5e-3)
 
+    def test_non_block_multiple_length(self):
+        """n not a multiple of the block size takes the pad-up path; padded
+        positions (segment 0) must not perturb the valid outputs."""
+        for n in (130, 257):
+            q, k, v = self._qkv(n, seed=7)
+            valid = n - 9
+            mask = jnp.arange(n)[None, :] < valid
+            out = self._run(q, k, v, mask, 10.0)
+            ref = self._einsum_ref(q[:, :, :valid], k[:, :, :valid],
+                                   v[:, :, :valid], 10.0)
+            np.testing.assert_allclose(np.asarray(out)[:, :, :valid],
+                                       np.asarray(ref), atol=1e-4)
+
     def test_attention_module_flash_path(self):
         """The full Attention module with use_flash actually runs the kernel
         under the hook and agrees with the einsum path."""
