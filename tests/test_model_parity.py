@@ -123,6 +123,38 @@ class TestAliasFreeResample:
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+class TestConvNeXtParity:
+    def test_forward_matches_torch_through_mapper(self, rng):
+        """The convnext backbone + its torch->flax mapping
+        (compat/torch_ckpt.py:141-162) against a reference-layout torch
+        replica (reference convnext.py:9-95, flow.py:124-139,247-253) —
+        previously the only mapped architecture without a parity test."""
+        torch.manual_seed(0)
+        tnet = torch_ref.TorchCFMWrapper(
+            dim_in=8, dim=16, architecture="convnext",
+            convnext_layers=3).eval()
+        # perturb params whose init is deterministic (gamma ones, AdaLN
+        # zero weights) so the test is not trivially at identity
+        with torch.no_grad():
+            for _, p in tnet.named_parameters():
+                if p.requires_grad:
+                    p.add_(torch.randn_like(p) * 0.05)
+        cfg = ModelConfig(architecture="convnext", dim_in=8, dim=16,
+                          convnext_layers=3)
+        net = VectorFieldNet(cfg)
+        params = map_model_state_dict(tnet.state_dict(), cfg)
+        x = rng.standard_normal((2, 11, 8)).astype(np.float32)
+        cond = rng.standard_normal((2, 11, 8)).astype(np.float32)
+        times = np.array([0.3, 0.8], dtype=np.float32)
+        with torch.no_grad():
+            ref = tnet.flowhigh(torch.from_numpy(x), torch.from_numpy(times),
+                                torch.from_numpy(cond)).numpy()
+        got = np.asarray(net.apply(params, jnp.asarray(x),
+                                   times=jnp.asarray(times),
+                                   cond=jnp.asarray(cond)))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
 class TestBigVGANParity:
     def test_generator_matches_torch(self, rng):
         torch.manual_seed(1)

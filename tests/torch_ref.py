@@ -187,21 +187,64 @@ class Transformer(nn.Module):
         return self.final_norm(x)
 
 
+class AdaLayerNormCN(nn.Module):
+    """ConvNeXt AdaLayerNorm: plain LN then time-conditioned scale/shift
+    (reference convnext.py:65-95 layout: norm.scale / norm.shift Linears)."""
+
+    def __init__(self, dim, hidden_dim, eps=1e-6):
+        super().__init__()
+        self.eps, self.dim = eps, dim
+        self.scale = nn.Linear(hidden_dim, dim)
+        self.shift = nn.Linear(hidden_dim, dim)
+
+    def forward(self, x, cond):
+        y = F.layer_norm(x, (self.dim,), eps=self.eps)
+        return y * self.scale(cond).unsqueeze(1) + self.shift(cond).unsqueeze(1)
+
+
+class ConvNeXtBlockCN(nn.Module):
+    """Depthwise k=7 -> AdaLN -> pointwise MLP -> layer scale -> residual,
+    [B, C, T] in/out (reference convnext.py:9-61 key layout)."""
+
+    def __init__(self, dim, intermediate_dim, hidden_dim):
+        super().__init__()
+        self.dwconv = nn.Conv1d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = AdaLayerNormCN(dim, hidden_dim)
+        self.pwconv1 = nn.Linear(dim, intermediate_dim)
+        self.pwconv2 = nn.Linear(intermediate_dim, dim)
+        self.gamma = nn.Parameter(torch.ones(dim))
+
+    def forward(self, x, cond):
+        r = x
+        x = self.dwconv(x).transpose(1, 2)
+        x = self.norm(x, cond)
+        x = self.pwconv2(F.gelu(self.pwconv1(x)))
+        return r + (self.gamma * x).transpose(1, 2)
+
+
 class TorchFLowHigh(nn.Module):
     """Reference-layout vector-field net (state dict keys match flow.py)."""
 
     def __init__(self, dim_in=8, dim=16, depth=2, dim_head=4, heads=2,
-                 num_register_tokens=0, use_unet_skip_connection=False):
+                 num_register_tokens=0, use_unet_skip_connection=False,
+                 architecture="transformer", convnext_layers=8):
         super().__init__()
+        self.architecture = architecture
         self.sinu_pos_emb = nn.Sequential(
             LearnedSinusoidalPosEmb(dim), nn.Linear(dim, dim), nn.SiLU())
         self.to_embed = nn.Linear(dim_in * 2, dim)
         self.null_cond = nn.Parameter(torch.zeros(dim_in), requires_grad=False)
         self.conv_embed = ConvPositionEmbed(dim)
-        self.transformer = Transformer(
-            dim, depth, dim_head, heads,
-            num_register_tokens=num_register_tokens,
-            use_unet_skip_connection=use_unet_skip_connection)
+        if architecture == "transformer":
+            self.transformer = Transformer(
+                dim, depth, dim_head, heads,
+                num_register_tokens=num_register_tokens,
+                use_unet_skip_connection=use_unet_skip_connection)
+        else:  # convnext (reference flow.py:124-139: inter=3*dim, 8 layers)
+            self.convnext = nn.ModuleList(
+                [ConvNeXtBlockCN(dim, dim * 3, dim)
+                 for _ in range(convnext_layers)])
+            self.final_layer_norm = nn.LayerNorm(dim, eps=1e-6)
         self.to_pred = nn.Linear(dim, dim_in, bias=False)
 
     def forward(self, x, times, cond, drop_cond=False):
@@ -210,7 +253,13 @@ class TorchFLowHigh(nn.Module):
         h = self.to_embed(torch.cat([x, cond], dim=-1))
         h = self.conv_embed(h) + h
         t_emb = self.sinu_pos_emb(times)
-        h = self.transformer(h, t_emb)
+        if self.architecture == "transformer":
+            h = self.transformer(h, t_emb)
+        else:  # reference flow.py:247-253
+            h = h.transpose(1, 2)
+            for blk in self.convnext:
+                h = blk(h, t_emb)
+            h = self.final_layer_norm(h.transpose(1, 2))
         return self.to_pred(h)
 
 
