@@ -400,6 +400,24 @@ def params_to_torch_state(params: dict, model_cfg) -> dict:
             sd[L + "5.3.weight"] = n(ff["proj_out"]["kernel"]).T
             sd[L + "5.3.bias"] = n(ff["proj_out"]["bias"])
         sd["flowhigh.transformer.final_norm.gamma"] = n(tr["final_norm"]["gamma"])
+    else:  # convnext (key layout of reference convnext.py:9-95)
+        cn = p["convnext"]
+        for i in range(model_cfg.convnext_layers):
+            B = cn[f"blocks_{i}"]
+            L = f"flowhigh.convnext.{i}."
+            sd[L + "dwconv.weight"] = n(B["dwconv_kernel"]).transpose(2, 1, 0)
+            sd[L + "dwconv.bias"] = n(B["dwconv_bias"])
+            sd[L + "norm.scale.weight"] = n(B["norm"]["scale"]["kernel"]).T
+            sd[L + "norm.scale.bias"] = n(B["norm"]["scale"]["bias"])
+            sd[L + "norm.shift.weight"] = n(B["norm"]["shift"]["kernel"]).T
+            sd[L + "norm.shift.bias"] = n(B["norm"]["shift"]["bias"])
+            sd[L + "pwconv1.weight"] = n(B["pwconv1"]["kernel"]).T
+            sd[L + "pwconv1.bias"] = n(B["pwconv1"]["bias"])
+            sd[L + "pwconv2.weight"] = n(B["pwconv2"]["kernel"]).T
+            sd[L + "pwconv2.bias"] = n(B["pwconv2"]["bias"])
+            sd[L + "gamma"] = n(B["gamma"])
+        sd["flowhigh.final_layer_norm.weight"] = n(cn["final_norm_scale"])
+        sd["flowhigh.final_layer_norm.bias"] = n(cn["final_norm_bias"])
     return sd
 
 
@@ -437,6 +455,18 @@ def reference_param_order(model_cfg) -> list:
                       L + "5.0.weight", L + "5.0.bias",
                       L + "5.3.weight", L + "5.3.bias"]
         order += ["transformer.final_norm.gamma"]
+    else:  # convnext: per block, torch yields the DIRECT Parameter gamma
+        # before submodule params (convnext.py:40-42 registers gamma after
+        # pwconv2, but named_parameters walks self._parameters first)
+        for i in range(model_cfg.convnext_layers):
+            L = f"convnext.{i}."
+            order += [L + "gamma",
+                      L + "dwconv.weight", L + "dwconv.bias",
+                      L + "norm.scale.weight", L + "norm.scale.bias",
+                      L + "norm.shift.weight", L + "norm.shift.bias",
+                      L + "pwconv1.weight", L + "pwconv1.bias",
+                      L + "pwconv2.weight", L + "pwconv2.bias"]
+        order += ["final_layer_norm.weight", "final_layer_norm.bias"]
     order += ["to_pred.weight"]
     return order
 

@@ -155,6 +155,39 @@ class TestConvNeXtParity:
         np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
 
+    def test_export_roundtrip_and_param_order(self):
+        """params_to_torch_state previously SKIPPED the convnext backbone
+        (silent incomplete export) and reference_param_order had no
+        convnext branch (wrong Adam state indices). Pin both against the
+        torch replica: strict load_state_dict round-trip + registration
+        order (gamma is the block's direct Parameter, yielded before its
+        submodules)."""
+        from flowhigh_tpu.compat import params_to_torch_state
+        from flowhigh_tpu.compat.torch_ckpt import reference_param_order
+
+        torch.manual_seed(0)
+        tnet = torch_ref.TorchCFMWrapper(
+            dim_in=8, dim=16, architecture="convnext",
+            convnext_layers=2).eval()
+        with torch.no_grad():
+            for _, p in tnet.named_parameters():
+                if p.requires_grad:
+                    p.add_(torch.randn_like(p) * 0.05)
+        cfg = ModelConfig(architecture="convnext", dim_in=8, dim=16,
+                          convnext_layers=2)
+        params = map_model_state_dict(tnet.state_dict(), cfg)
+        sd = {k: torch.from_numpy(np.array(v))
+              for k, v in params_to_torch_state(params, cfg).items()}
+        missing, unexpected = tnet.load_state_dict(sd, strict=False)
+        assert not missing and not unexpected
+        orig = tnet.state_dict()
+        for k in orig:
+            np.testing.assert_allclose(sd[k].numpy(), orig[k].numpy(),
+                                       atol=1e-6)
+        assert ([n for n, _ in tnet.flowhigh.named_parameters()]
+                == reference_param_order(cfg))
+
+
 class TestBigVGANParity:
     def test_generator_matches_torch(self, rng):
         torch.manual_seed(1)
