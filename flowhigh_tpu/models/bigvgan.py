@@ -230,11 +230,14 @@ class AMPBlock1(nn.Module):
     packed_p: int = 1          # >1: run on space-to-depth packed features
     conv_dtype: Optional[jnp.dtype] = None  # packed-conv contraction dtype
     pallas_convs: bool = False  # Pallas MXU conv kernel (serving fast path)
-    # fuse [act -> conv] pairs into one kernel: False | True | "auto"
-    # ("auto" fuses only k<=3 convs — the only profitable size before the
-    # act halo was tightened to +-ceil(3/p) rows; with that change fusing
-    # every VMEM-eligible pair measures fastest, and the serving default in
-    # sr.py is True)
+    # fuse [act -> conv] pairs into one kernel: False | True | "auto" |
+    # "pairs". "auto" fuses only k<=3 convs — the only profitable size
+    # before the act halo was tightened to +-ceil(3/p) rows; with that
+    # change fusing every VMEM-eligible pair measures fastest and the
+    # serving default in sr.py is True, which ALSO fuses whole dilation
+    # units (act->conv->act->conv->+x) where they fit VMEM. "pairs" fuses
+    # every eligible pair but skips the unit kernel (the A/B knob for
+    # benchmarking the unit fusion in isolation).
     fuse_act_conv: object = False
 
     def _act_then_conv(self, x, act_name, w, b, pad, dil, residual=None,
