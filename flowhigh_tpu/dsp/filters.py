@@ -28,12 +28,27 @@ def cheby1_sos(order: int, ripple: float, wn: float) -> np.ndarray:
     return sps.cheby1(order, ripple, wn, btype="lowpass", output="sos").astype(np.float64)
 
 
-def host_degrade(wave: np.ndarray, sr: int, random_sr: int, order: int, ripple: float) -> np.ndarray:
-    """cheby1 + sosfiltfilt + down/up resample_poly, all host-side numpy.
+def host_degrade(wave: np.ndarray, sr: int, random_sr: int, order: int,
+                 ripple: float, engine: str = "auto") -> np.ndarray:
+    """cheby1 + sosfiltfilt + down/up resample_poly, all host-side.
 
     Returns the band-limited-but-48k ``up_cond`` waveform, length-matched to
     ``wave`` (reference: src/flowhigh/train/data.py:110-123).
+
+    ``engine``: "auto" uses the native C++ chain (``flowhigh_tpu.native``,
+    scipy-parity-tested, one call for the whole filter+resample chain) when
+    the library builds on this host, falling back to scipy; "scipy"/"native"
+    force a path ("native" raises ``NativeUnavailable`` if it can't build).
+    ``FLOWHIGH_NO_NATIVE=1`` disables the native path globally.
     """
+    if engine in ("auto", "native"):
+        try:
+            from .. import native
+            return native.host_degrade(np.asarray(wave, np.float64), sr,
+                                       random_sr, order, ripple)
+        except Exception:
+            if engine == "native":
+                raise
     nyq = sr // 2
     hi = (random_sr // 2) / nyq
     sos = cheby1_sos(order, ripple, hi)

@@ -61,6 +61,23 @@ def main():
     print(f"sequential degradation: {seq:6.1f} clips/s "
           f"({1000/seq:.1f} ms/clip, incl. ~16 ms synthetic wave gen that a "
           f"real corpus replaces with a disk read)")
+
+    # Degradation-only engine comparison (no wave gen): scipy vs native C++.
+    from flowhigh_tpu import native
+    from flowhigh_tpu.dsp.filters import host_degrade
+    wave = np.random.default_rng(0).standard_normal(48000 * 3)
+    cases = [(8000, 8, 0.05), (9000, 11, 5.0), (31000, 5, 1.0)]
+    for engine in (["scipy", "native"] if native.available() else ["scipy"]):
+        for r, o, rip in cases:
+            host_degrade(wave, 48000, r, o, rip, engine=engine)  # warm cache
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            for r, o, rip in cases:
+                host_degrade(wave, 48000, r, o, rip, engine=engine)
+        ms = (time.perf_counter() - t0) / (reps * len(cases)) * 1e3
+        print(f"degrade-only ({engine:6s}): {ms:5.2f} ms/clip (3 s @48k, "
+              f"mean over rates {[c[0] for c in cases]})")
     results = {}
     for wt, w in [("thread", 8), ("process", 8)]:
         r = bench_iterator(ds, w, wt)
