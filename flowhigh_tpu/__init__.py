@@ -22,7 +22,7 @@ from .sr import FlowHighSR
 from .cfm_wrapper import ConditionalFlowMatcherWrapper, FLowHigh, init_bigvgan
 from .streaming import StreamingSR
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "FlowHighSR", "ConditionalFlowMatcherWrapper", "FLowHigh", "init_bigvgan",
