@@ -707,16 +707,19 @@ def act_conv_plan(k: int, pad: int, dilation: int, p: int, c: int) -> int:
     the act working set (ext window + up to six cached lane-rolls of
     ext/se/so + the act output + out/residual blocks), and the act set
     scales with the time tile. Pairs whose weights fit 6 MiB run at the
-    measured-optimal cap 256; heavier pairs (stage-1 k=3 at 7.1 MiB,
-    stage-2/3 k=11 at 6.5 MiB) still win fused at cap 128 — the saved
+    measured-optimal cap 256; heavier pairs up to 12 MiB still win fused
+    at cap 128 (stage-2/3 k=11: +0.65/+1.46 ms/pair measured) — the saved
     full-array act round-trip outweighs the extra per-tile act halo
-    recompute. Beyond 12 MiB (stage-1 k=7/11) nothing fits. p=1 is
-    fusable too: there every act shift is a pure row slice."""
+    recompute — EXCEPT at 768-lane widths (stage-1 k=3, 6.8 MiB), where
+    the fused pair measured 0.52 ms/pair SLOWER than act+conv (round-3
+    sweep, PERF.md): the double-width act working set at a 128-row tile
+    starves the pipeline. Beyond 12 MiB (stage-1 k=7/11) nothing fits.
+    p=1 is fusable too: there every act shift is a pure row slice."""
     rel_offsets, _, _, _ = _nonzero_taps(k, pad, dilation, p)
     wbytes = len(rel_offsets) * (p * c) * (p * c) * 4
     if wbytes <= 6 * 2**20:
         return 256
-    if wbytes <= 12 * 2**20:
+    if wbytes <= 12 * 2**20 and p * c <= 384:
         return 128
     return 0
 
@@ -932,17 +935,21 @@ def amp_unit_plan(k: int, dil1: int, p: int, c: int) -> int:
     """Time-tile cap for the fused AMP-unit kernel, 0 = not fusable.
 
     Both convs' full-cout weight blocks must sit in VMEM alongside two act
-    working sets and the conv1 intermediate. Thresholds mirror
-    act_conv_plan's, tightened for the extra resident state."""
+    working sets and the conv1 intermediate. Rules from the round-3 TPU cap
+    sweep (scripts/bench_amp_unit.py, PERF.md): the unit beats two fused
+    pairs ONLY where packing does not inflate conv1's tap count
+    (``n1 <= k``; at p=2 with d∈{3,5} the packed rewrite carries 11/17 taps
+    for k=7/11 and the in-kernel MXU work swamps the saved HBM round-trip —
+    measured -0.3..-0.7 ms/unit) and the resident weights stay ≤8 MiB.
+    Within the eligible set, bigger time tiles always measured faster
+    (128 < 256 < 512), so eligible units run at cap 512."""
     pad1 = (k * dil1 - dil1) // 2
     pad2 = (k - 1) // 2
     n1 = len(_nonzero_taps(k, pad1, dil1, p)[0])
     n2 = len(_nonzero_taps(k, pad2, 1, p)[0])
     wbytes = (n1 + n2) * (p * c) * (p * c) * 4
-    if wbytes <= 6 * 2**20:
-        return 256
-    if wbytes <= 11 * 2**20:
-        return 128
+    if n1 <= k and wbytes <= 8 * 2**20:
+        return 512
     return 0
 
 

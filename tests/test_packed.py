@@ -331,10 +331,12 @@ class TestFusedActConv:
         assert act_conv_plan(3, 1, 1, 2, 192) == 256     # small kernels fit
         assert act_conv_plan(7, 9, 3, 1, 384) == 256     # p=1, C=384: 3.9 MiB
         # heavy-but-fitting pairs fuse at the reduced tile cap
-        assert act_conv_plan(3, 1, 1, 1, 768) == 128     # s1 k=3: 6.8 MiB
         assert act_conv_plan(11, 5, 1, 1, 384) == 128    # s2 k=11: 6.2 MiB
         assert act_conv_plan(11, 15, 3, 2, 192) == 128   # s3 k=11 d=3: 9.6 MiB
         assert act_conv_plan(11, 25, 5, 2, 192) == 128   # s3 k=11 d=5: 9.6 MiB
+        # ...except at 768-lane widths, where fusing measured slower
+        # (round-3 sweep: s1 k=3 fused -0.52 ms/pair)
+        assert act_conv_plan(3, 1, 1, 1, 768) == 0
         assert not act_conv_fusable(7, 9, 3, 1, 768)     # s1 k=7: 15.8 MiB
 
     @pytest.mark.parametrize("p,c,k,d,s", [
