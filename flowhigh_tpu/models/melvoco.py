@@ -6,10 +6,14 @@ function of the (static) mel config — reflect pad (n_fft-hop)/2, center=False
 STFT, sqrt(re^2+im^2+1e-9) magnitude, Slaney mel matmul, log-clamp 1e-5 — and
 decode applies the frozen BigVGAN generator params.
 
-Deliberately omitted: the reference's alternative torchaudio encode path
-(reference: melvoco.py:88-112, ``use_torchaudio=True``) — dead in practice
-(nothing in the reference ever sets the flag) and redundant here: the single
-encode above already matches the librosa-path math it duplicates.
+``encode_torchaudio`` is the reference's alternative encode path
+(reference: melvoco.py:88-112) — dead in the reference's own pipeline
+(nothing ever calls it) but part of the public MelVoco surface: a
+*power* spectrogram (torchaudio ``T.Spectrogram`` defaults: center=True,
+power=2) through an HTK/unnormalized mel bank (``T.MelScale`` defaults)
+with ``AmplitudeToDB``-style 10*log10 compression when ``log`` is set.
+Note its mel output is NOT interchangeable with ``encode``'s (different
+mel scale, normalization, and compression) — true of the reference too.
 """
 
 from __future__ import annotations
@@ -19,6 +23,8 @@ import jax.numpy as jnp
 
 from ..config import MelConfig, VocoderConfig
 from ..dsp import apply_mel, log_compress, mel_filterbank, stft_magnitude
+from ..dsp.mel import mel_filterbank_htk
+from ..dsp.stft import stft
 from .bigvgan import BigVGAN
 
 
@@ -34,6 +40,24 @@ def encode(audio: jax.Array, cfg: MelConfig = MelConfig()) -> jax.Array:
     mel = apply_mel(mag, basis)
     mel = log_compress(mel, 1e-5)
     return jnp.swapaxes(mel, -1, -2)  # [B, frames, n_mels]
+
+
+def encode_torchaudio(audio: jax.Array, cfg: MelConfig = MelConfig(),
+                      log: bool = True) -> jax.Array:
+    """[B, T] -> [B, frames, n_mels]: the reference's alternative encode
+    (reference: melvoco.py:88-112). torchaudio-default math: center=True
+    reflect-padded STFT, |z|^2 power spectrum, HTK mel bank with f_min=0
+    and no normalization, then AmplitudeToDB on power (10*log10, amin
+    1e-10, no top_db) when ``log``."""
+    spec = stft(audio, cfg.n_fft, cfg.hop_length, cfg.win_length,
+                center=True, pad_mode="reflect")  # [B, bins, frames]
+    power = spec.real**2 + spec.imag**2
+    basis = mel_filterbank_htk(cfg.sampling_rate, cfg.n_fft, cfg.n_mels,
+                               0.0, cfg.f_max)
+    mel = apply_mel(power, basis)
+    if log:
+        mel = 10.0 * jnp.log10(jnp.clip(mel, min=1e-10))
+    return jnp.swapaxes(mel, -1, -2)
 
 
 class MelVoco:
@@ -80,6 +104,7 @@ class MelVoco:
             vocoder_params = map_vocoder_state_dict(pkg.get("generator", pkg),
                                                     voc_cfg)
         self.mel_cfg = mel_cfg
+        self.log = log
         self.voc_cfg = voc_cfg
         self.vocoder = BigVGAN(voc_cfg, dtype=dtype, fused_act=fused_act,
                                packed=packed, conv_dtype=conv_dtype,
@@ -116,6 +141,9 @@ class MelVoco:
 
     def encode(self, audio: jax.Array) -> jax.Array:
         return encode(audio, self.mel_cfg)
+
+    def encode_torchaudio(self, audio: jax.Array) -> jax.Array:
+        return encode_torchaudio(audio, self.mel_cfg, log=self.log)
 
     def decode(self, mel: jax.Array) -> jax.Array:
         """[B, frames, n_mels] -> [B, frames * hop] waveform

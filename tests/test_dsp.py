@@ -154,6 +154,65 @@ class TestMel:
         assert np.asarray(lg).min() >= np.log(1e-5) - 1e-6
 
 
+class TestTorchaudioEncode:
+    """The reference's alternative encode path (reference: melvoco.py:88-112)
+    vs an independent torch replica of the torchaudio transforms it uses
+    (torchaudio itself is not installed here): T.Spectrogram(power=2,
+    center=True) -> T.MelScale(htk, norm=None, f_min=0) -> AmplitudeToDB."""
+
+    @staticmethod
+    def _fbanks(n_freqs, f_min, f_max, n_mels, sr):
+        # torchaudio.functional.melscale_fbanks(mel_scale="htk", norm=None)
+        all_freqs = torch.linspace(0, sr // 2, n_freqs, dtype=torch.float64)
+        m_pts = torch.linspace(
+            2595.0 * np.log10(1.0 + f_min / 700.0),
+            2595.0 * np.log10(1.0 + f_max / 700.0), n_mels + 2,
+            dtype=torch.float64)
+        f_pts = 700.0 * (torch.pow(10.0, m_pts / 2595.0) - 1.0)
+        f_diff = f_pts[1:] - f_pts[:-1]
+        slopes = f_pts.unsqueeze(0) - all_freqs.unsqueeze(1)
+        down = (-1.0 * slopes[:, :-2]) / f_diff[:-1]
+        up = slopes[:, 2:] / f_diff[1:]
+        zero = torch.zeros(1, dtype=torch.float64)
+        return torch.max(zero, torch.min(down, up))  # [n_freqs, n_mels]
+
+    def test_htk_filterbank_matches_replica(self):
+        from flowhigh_tpu.dsp.mel import mel_filterbank_htk
+        fb = mel_filterbank_htk(48000, 2048, 256, 0.0, 24000.0)
+        ref = self._fbanks(1025, 0.0, 24000.0, 256, 48000).numpy().T
+        assert fb.shape == (256, 1025)
+        np.testing.assert_allclose(fb, ref, atol=1e-6)
+        # no Slaney norm: narrow triangles peak at ~1 (wherever a bin lands
+        # near a filter center), unlike the Slaney bank's < 0.15
+        assert fb.max() > 0.5
+
+    def test_matches_torchaudio_replica(self, rng):
+        x = (rng.standard_normal((2, 24000)) * 0.3).astype(np.float32)
+        spec = torch.stft(
+            torch.from_numpy(x), 2048, hop_length=480, win_length=2048,
+            window=torch.hann_window(2048), center=True, pad_mode="reflect",
+            normalized=False, onesided=True, return_complex=True)
+        power = (spec.abs() ** 2).double()
+        fb = self._fbanks(1025, 0.0, 24000.0, 256, 48000)
+        mel = torch.matmul(power.transpose(-1, -2), fb)  # [B, frames, mels]
+        ref_db = (10.0 * torch.log10(torch.clamp(mel, min=1e-10))).numpy()
+
+        from flowhigh_tpu.models.melvoco import encode_torchaudio
+        got = np.asarray(encode_torchaudio(jnp.asarray(x)))
+        assert got.shape == ref_db.shape
+        np.testing.assert_allclose(got, ref_db, atol=3e-2, rtol=1e-3)
+
+    def test_melvoco_method_and_log_flag(self, rng):
+        from flowhigh_tpu.models.melvoco import MelVoco
+        x = jnp.asarray((rng.standard_normal((1, 9600)) * 0.1).astype(np.float32))
+        voc = MelVoco(log=False)
+        lin = np.asarray(voc.encode_torchaudio(x))
+        assert lin.shape[-1] == 256 and (lin >= 0).all()
+        db = np.asarray(MelVoco().encode_torchaudio(x))
+        np.testing.assert_allclose(
+            db, 10.0 * np.log10(np.clip(lin, 1e-10, None)), atol=1e-4)
+
+
 class TestSoxrHQDesign:
     """upsampling_method='librosa' analog: soxr itself is unavailable
     offline, so the design is validated against the soxr HQ *specs*
