@@ -422,9 +422,21 @@ def pallas_packed_conv_transpose1d(xp: jax.Array, wt: jax.Array,
 
 
 # --- packed anti-aliased snake activation (Pallas) ----------------------------
+#
+# Sequence-edge semantics are handled IN-KERNEL (round 3): the reference's
+# alias-free chain replicate-pads the base-rate signal before the up-FIR and
+# the 2x-rate snake output before the down-FIR (models/bigvgan.py:128-165).
+# With phase-major packing a sample-level clip to [0, T) aligns to whole
+# packed rows, so exact replicate semantics are two row-indexed selects per
+# array: rows < 0 read a lane-broadcast of unpacked sample 0 (phase 0 of the
+# first valid row) and rows >= s_true read one of sample T-1 (phase p-1 of
+# the last valid row). The broadcast source rows are fetched with clamped
+# dynamic indices — they are in-window exactly for the tiles whose selects
+# can fire. This replaced the old XLA-side `_patch_edges_*` subgraphs (~90
+# per clip, several ms of glue + serial patch latency) at a cost of a few
+# VPU selects per tile.
 
 _H = 8  # halo rows each side (sublane-aligned; logical need is <= 5 rows)
-_PATCH = 8  # unpacked output rows recomputed exactly at each sequence edge
 
 
 def _act_filters():
@@ -447,6 +459,51 @@ def _snake_packed(u, alpha, beta):
     from .fused_act import fast_cos
     half_inv_b = 0.5 / (beta + 1e-9)
     return u + half_inv_b - half_inv_b * fast_cos(u * (2.0 * alpha))
+
+
+def _lane_broadcast(row, m0: int, p: int, c: int):
+    """[1, pc] row -> [1, pc] with lane block ``m0`` (one unpacked sample's
+    channels) tiled to all p phase blocks."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if p == 1:
+        return row
+    pc = p * c
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    masked = jnp.where((lane >= m0 * c) & (lane < (m0 + 1) * c), row, 0.0)
+    acc = masked
+    for m in range(p):
+        if m != m0:
+            acc = acc + pltpu.roll(masked, ((m - m0) * c) % pc, 1)
+    return acc
+
+
+def _dyn_row(arr, idx):
+    """arr[idx : idx+1, :] with a traced row index; zeros when out of range.
+
+    Mosaic has no dynamic_slice on values — a masked row-reduce is the
+    supported idiom. Callers only consume the result in tiles where ``idx``
+    is in-window, so the out-of-range zeros are never observed."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+    return jnp.sum(jnp.where(rows == idx, arr, 0.0), axis=0, keepdims=True)
+
+
+def _replicate_rows(arr, base_abs, s_true: int, p: int, c: int,
+                    bc_lo=None, bc_hi=None):
+    """Substitute rows of ``arr`` (abs packed row of row 0 = ``base_abs``, a
+    traced scalar) that fall outside [0, s_true): rows < 0 become
+    ``bc_lo`` (default: lane-broadcast of arr's own row at abs 0, phase 0)
+    and rows >= s_true become ``bc_hi`` (default: broadcast of the row at
+    abs s_true-1, phase p-1) — the packed form of sample-level replicate
+    clipping."""
+    n = arr.shape[0]
+    if bc_lo is None:
+        bc_lo = _lane_broadcast(_dyn_row(arr, -base_abs), 0, p, c)
+    if bc_hi is None:
+        bc_hi = _lane_broadcast(_dyn_row(arr, s_true - 1 - base_abs),
+                                p - 1, p, c)
+    rows = base_abs + jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+    return jnp.where(rows < 0, bc_lo, jnp.where(rows >= s_true, bc_hi, arr))
 
 
 def _lane_shifter(arr, base: int, p: int, c: int):
@@ -483,11 +540,21 @@ def _lane_shifter(arr, base: int, p: int, c: int):
 
 
 def _act_rows(ext, ext_base: int, alpha, beta, p: int, c: int,
-              row_lo: int, n_rows: int):
+              row_lo: int, n_rows: int, tile_start=None,
+              s_true: Optional[int] = None):
     """Anti-aliased snake over packed act rows [row_lo, row_lo + n_rows)
     given the f32 input window ``ext`` whose row 0 is packed row
-    ``ext_base``. The in-VMEM act body shared by both Pallas kernels:
-    up-FIR (se/so phases) -> snake -> down-FIR."""
+    ``ext_base``. The in-VMEM act body shared by all three Pallas kernels:
+    up-FIR (se/so phases) -> snake -> down-FIR.
+
+    ``tile_start`` (traced scalar: absolute packed row of local row 0) +
+    ``s_true`` enable exact sequence-edge semantics: the down-FIR reads the
+    2x-rate snake signal with sample indices clipped to [0, 2T) (the
+    reference's replicate padding, models/bigvgan.py:149-164) — any clipped
+    negative index lands on 2x-sample 0 (= se phase 0 of abs row 0) and any
+    past-the-end index on 2x-sample 2T-1 (= so phase p-1 of abs row
+    s_true-1). The caller is responsible for replicate-substituting ``ext``
+    itself (the up-FIR side)."""
     h, we, wo = _act_filters()
     pc = p * c
     # se/so row window: every down-FIR tap m in [-3, 3] reads packed row
@@ -508,6 +575,13 @@ def _act_rows(ext, ext_base: int, alpha, beta, p: int, c: int,
     se = _snake_packed(se, alpha, beta)
     so = _snake_packed(so, alpha, beta)
 
+    if tile_start is not None:
+        abs0 = tile_start + (row_lo - e)
+        bc_lo = _lane_broadcast(_dyn_row(se, -abs0), 0, p, c)
+        bc_hi = _lane_broadcast(_dyn_row(so, s_true - 1 - abs0), p - 1, p, c)
+        se = _replicate_rows(se, abs0, s_true, p, c, bc_lo, bc_hi)
+        so = _replicate_rows(so, abs0, s_true, p, c, bc_lo, bc_hi)
+
     ush_se = _lane_shifter(se, row_lo - e, p, c)
     ush_so = _lane_shifter(so, row_lo - e, p, c)
     y = jnp.zeros((n_rows, pc), jnp.float32)
@@ -518,14 +592,35 @@ def _act_rows(ext, ext_base: int, alpha, beta, p: int, c: int,
     return y
 
 
-def _make_packed_kernel(s_t: int, p: int, c: int):
+def _make_packed_kernel(s_t: int, p: int, c: int, s_true: int):
+    import jax.experimental.pallas as pl
+
     def kernel(cur_ref, prev_ref, nxt_ref, ab_ref, out_ref):
+        i = pl.program_id(1)
+        tile_start = i * s_t
         ext = jnp.concatenate(
             [prev_ref[0].astype(jnp.float32),
              cur_ref[0].astype(jnp.float32),
              nxt_ref[0].astype(jnp.float32)], axis=0)  # rows -H .. s_t+H
-        y = _act_rows(ext, -_H, ab_ref[0, :], ab_ref[1, :], p, c, 0, s_t)
-        out_ref[0, :, :] = y.astype(out_ref.dtype)
+
+        # Edge tiles (the ones whose window can reach outside [0, s_true))
+        # take the replicate-substitution path; interior tiles — all but ~2
+        # per call — skip every substitution pass.
+        is_edge = (i == 0) | (tile_start + s_t + _H > s_true)
+
+        @pl.when(is_edge)
+        def _():
+            # up-FIR side of the reference's replicate padding: x samples
+            # outside [0, T) read the clipped edge samples
+            e2 = _replicate_rows(ext, tile_start - _H, s_true, p, c)
+            y = _act_rows(e2, -_H, ab_ref[0, :], ab_ref[1, :], p, c, 0, s_t,
+                          tile_start, s_true)
+            out_ref[0, :, :] = y.astype(out_ref.dtype)
+
+        @pl.when(jnp.logical_not(is_edge))
+        def _():
+            y = _act_rows(ext, -_H, ab_ref[0, :], ab_ref[1, :], p, c, 0, s_t)
+            out_ref[0, :, :] = y.astype(out_ref.dtype)
 
     return kernel
 
@@ -545,7 +640,8 @@ def packed_snake_activation1d(xp: jax.Array, alpha: jax.Array,
 
     xp: [B, S, p*C]; alpha/beta: [C]. Equals
     pack(downsample2(snake(upsample2(unpack(xp)))), p) — the unfused
-    composition of models/bigvgan.py:128-177 — to f32 reassociation.
+    composition of models/bigvgan.py:128-177 — to f32 reassociation,
+    including the sequence-edge replicate semantics (handled in-kernel).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -554,34 +650,38 @@ def packed_snake_activation1d(xp: jax.Array, alpha: jax.Array,
 
     bsz, s, pc = xp.shape
     c = pc // p
-    t = s * p
     a = jnp.exp(alpha) if logscale else alpha
     bb = (jnp.exp(beta) if logscale else beta) if beta is not None else a
     ab = jnp.stack([jnp.tile(a, p), jnp.tile(bb, p)]).astype(jnp.float32)
 
     s_t = _pick_rows(s)
-    if s_t == 0:  # pad rows with broadcast last-sample content and recurse
+    s_true = s
+    if s_t == 0:  # pad rows (content irrelevant — in-kernel edge handling
+        # reads by TRUE row index) and slice back
         s_pad = -(-max(64, s) // 8) * 8
-        last = xp[:, -1:, -c:]  # last unpacked sample [B, 1, C]
-        fill = jnp.tile(last, (1, s_pad - s, p))
-        y = packed_snake_activation1d(
-            jnp.concatenate([xp, fill], axis=1), alpha, beta, logscale, p,
-            interpret)[:, :s, :]
-        # the recursion patched edges at the PADDED tail (sliced off above);
-        # the TRUE tail still holds kernel output whose edge semantics
-        # differ (base-rate replicate fill vs the reference's 2x-rate
-        # snake-output replicate, ~last 3 samples) — re-patch vs original xp
-        return _patch_edges_packed(y, xp, alpha, beta, logscale, p, c)
+        xq = jnp.pad(xp, ((0, 0), (0, s_pad - s), (0, 0)))
+        return _packed_act_core(xq, s, alpha, beta, logscale, p, ab,
+                                interpret)[:, :s, :]
+    return _packed_act_core(xp, s_true, alpha, beta, logscale, p, ab,
+                            interpret)
+
+
+def _packed_act_core(xp, s_true, alpha, beta, logscale, p, ab, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, s, pc = xp.shape
+    c = pc // p
+    s_t = _pick_rows(s)
     n_tiles = s // s_t
 
     # Halo rows come from xp itself as neighbor blocks of height _H (s_t is
     # always a multiple of _H=8), clamped at the sequence ends — no XLA-side
-    # gather strips. Whatever content the clamped edge blocks carry, only
-    # the first/last _PATCH unpacked outputs can see it, and those are
-    # recomputed exactly below.
+    # gather strips. The kernel substitutes any halo/pad row outside
+    # [0, s_true) with the replicate-clipped edge content itself.
     r_h = s_t // _H
-    y = pl.pallas_call(
-        _make_packed_kernel(s_t, p, c),
+    return pl.pallas_call(
+        _make_packed_kernel(s_t, p, c, s_true),
         out_shape=jax.ShapeDtypeStruct((bsz, s, pc), xp.dtype),
         grid=(bsz, n_tiles),
         in_specs=[
@@ -601,34 +701,6 @@ def packed_snake_activation1d(xp: jax.Array, alpha: jax.Array,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xp, xp, xp, ab)
-
-    return _patch_edges_packed(y, xp, alpha, beta, logscale, p, c)
-
-
-def _patch_edges_packed(y, xp, alpha, beta, logscale, p, c):
-    """Recompute the first/last _PATCH unpacked outputs exactly with the
-    unfused composition (replicate edge padding), on tiny unpacked slices."""
-    bsz, s, pc = xp.shape
-    ctx = -(-(_PATCH + 24) // p)  # packed rows of context per edge
-    ctx = min(ctx, s)
-
-    left_x = unpack_time(xp[:, :ctx, :], p)          # [B, ctx*p, C]
-    right_x = unpack_time(xp[:, s - ctx :, :], p)
-    left_y = _reference_act(left_x, alpha, beta, logscale)[:, :_PATCH, :]
-    right_y = _reference_act(right_x, alpha, beta, logscale)[:, -_PATCH:, :]
-
-    rows = -(-_PATCH // p)  # packed rows touched by a patch
-    head = unpack_time(y[:, :rows, :], p)
-    head = jax.lax.dynamic_update_slice_in_dim(
-        head, left_y.astype(y.dtype), 0, axis=1)
-    y = jax.lax.dynamic_update_slice_in_dim(
-        y, pack_time(head, p), 0, axis=1)
-
-    tail = unpack_time(y[:, s - rows :, :], p)
-    tail = jax.lax.dynamic_update_slice_in_dim(
-        tail, right_y.astype(y.dtype), rows * p - _PATCH, axis=1)
-    return jax.lax.dynamic_update_slice_in_dim(
-        y, pack_time(tail, p), s - rows, axis=1)
 
 
 def packed_act_reference(xp: jax.Array, alpha: jax.Array,
@@ -651,11 +723,8 @@ def packed_act_reference(xp: jax.Array, alpha: jax.Array,
 # every AMPBlock conv except the widest-dilation cases at small p, which fall
 # back to the unfused pair.
 
-_PATCH_OUT = 48  # unpacked fused outputs recomputed exactly at each edge
-
-
 def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
-                          rel_offsets, hl8: int, pad_lo: int,
+                          rel_offsets, hl8: int, hr8: int, pad_lo: int,
                           pad_hi: int, dot_dtype, n_res: int,
                           out_scale: float = 1.0):
     import jax.experimental.pallas as pl
@@ -667,35 +736,47 @@ def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
 
     def kernel(cur_ref, prev_ref, nxt_ref, ab_ref, w_ref, b_ref, *rest):
         res_refs, out_ref = rest[:-1], rest[-1]
+        i = pl.program_id(1)
+        tile_start = i * s_t
         ext = jnp.concatenate(
             [prev_ref[0].astype(jnp.float32),
              cur_ref[0].astype(jnp.float32),
              nxt_ref[0].astype(jnp.float32)], axis=0)  # rows -hl8 .. s_t+hr8
 
-        # anti-aliased snake over act rows [act_lo, act_lo + n_a) — shared
-        # body with the standalone act kernel
-        a = _act_rows(ext, -hl8, ab_ref[0, :], ab_ref[1, :], p, c,
-                      act_lo, n_a)
+        def finish(a):
+            acc = jnp.zeros((s_t, pcout), jnp.float32)
+            for qi, off in enumerate(rel_offsets):
+                acc = acc + jax.lax.dot_general(
+                    a[off + pad_lo : off + pad_lo + s_t, :], w_ref[qi],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            acc = acc + b_ref[0, :].astype(jnp.float32)
+            for res_ref in res_refs:
+                acc = acc + res_ref[0].astype(jnp.float32)
+            if out_scale != 1.0:
+                acc = acc * out_scale
+            out_ref[0, :, :] = acc.astype(out_ref.dtype)
 
-        # conv zero-padding semantics: act rows outside [0, s_true) are zero
-        i = pl.program_id(1)
-        grow = i * s_t + act_lo + jax.lax.broadcasted_iota(
-            jnp.int32, (n_a, pc), 0)
-        a = jnp.where((grow >= 0) & (grow < s_true), a, 0.0)
-        a = a.astype(dot_dtype)
+        is_edge = (i == 0) | (tile_start + s_t + hr8 > s_true)
 
-        acc = jnp.zeros((s_t, pcout), jnp.float32)
-        for qi, off in enumerate(rel_offsets):
-            acc = acc + jax.lax.dot_general(
-                a[off + pad_lo : off + pad_lo + s_t, :], w_ref[qi],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        acc = acc + b_ref[0, :].astype(jnp.float32)
-        for res_ref in res_refs:
-            acc = acc + res_ref[0].astype(jnp.float32)
-        if out_scale != 1.0:
-            acc = acc * out_scale
-        out_ref[0, :, :] = acc.astype(out_ref.dtype)
+        @pl.when(is_edge)
+        def _():
+            e2 = _replicate_rows(ext, tile_start - hl8, s_true, p, c)
+            # anti-aliased snake over act rows [act_lo, act_lo + n_a) —
+            # shared body with the standalone act kernel, edge-exact
+            a = _act_rows(e2, -hl8, ab_ref[0, :], ab_ref[1, :], p, c,
+                          act_lo, n_a, tile_start, s_true)
+            # conv zero padding: act rows outside [0, s_true) are zero
+            grow = tile_start + act_lo + jax.lax.broadcasted_iota(
+                jnp.int32, (n_a, pc), 0)
+            a = jnp.where((grow >= 0) & (grow < s_true), a, 0.0)
+            finish(a.astype(dot_dtype))
+
+        @pl.when(jnp.logical_not(is_edge))
+        def _():
+            a = _act_rows(ext, -hl8, ab_ref[0, :], ab_ref[1, :], p, c,
+                          act_lo, n_a)
+            finish(a.astype(dot_dtype))
 
     return kernel
 
@@ -742,26 +823,15 @@ def pallas_packed_act_conv1d(xp: jax.Array, alpha: jax.Array,
     ...) with the intermediate kept in VMEM. ``residual`` may be one array
     or a sequence (all [B, S, pCout]) — with ``out_scale`` this lets the MRF
     branch average fold into the last branch's fused pair exactly like the
-    bare conv kernel. The first/last _PATCH_OUT unpacked outputs are
-    recomputed exactly with the unfused composition (the act's
-    sequence-edge replicate padding can't be reproduced from clamped
-    packed-row halos). ``s_t_cap`` bounds the time-tile rows — the kernel's
-    VMEM working set (weights + act arrays + cached lane rolls) scales with
-    it, and smaller tiles can pipeline better."""
+    bare conv kernel. Sequence-edge replicate semantics are exact in-kernel
+    (see the act section header). ``s_t_cap`` bounds the time-tile rows —
+    the kernel's VMEM working set (weights + act arrays + cached lane
+    rolls) scales with it, and smaller tiles can pipeline better."""
     interpret = interpret or jax.default_backend() != "tpu"
     bsz, s, pcin = xp.shape
     k, cin, cout = w.shape
     assert pcin == p * cin and cin == cout, (xp.shape, w.shape, p)
     residuals = _as_residual_tuple(residual)
-
-    ctx_u = _PATCH_OUT + (k - 1) * dilation // 2 + 40
-    if s * p < 2 * ctx_u + 2 * _PATCH_OUT:  # too short to patch: go unfused
-        a_full = packed_snake_activation1d(xp, alpha, beta, logscale, p,
-                                           interpret)
-        return pallas_packed_conv1d(a_full, w, b, pad=pad, dilation=dilation,
-                                    p=p, residual=residuals or None,
-                                    out_scale=out_scale,
-                                    dot_dtype=dot_dtype, interpret=interpret)
 
     s_t = _pick_rows(s, cap=s_t_cap)
     if s_t == 0:  # pad rows; the kernel masks by the TRUE length
@@ -811,9 +881,10 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
     ab = jnp.stack([jnp.tile(a_, p), jnp.tile(bb, p)]).astype(jnp.float32)
 
     # Halo rows as neighbor blocks of xp when the tile height divides into
-    # them (the kernel masks out-of-sequence ACT rows itself for the conv's
-    # zero padding, and the act's edge content is recomputed exactly by the
-    # patch step); XLA gather strips only as a fallback.
+    # them (whatever the clamped edge blocks carry, the kernel substitutes
+    # every row outside [0, s_true) with replicate-clipped edge content and
+    # zero-masks act rows for the conv's own zero padding); XLA gather
+    # strips only as a fallback.
     blocked = s_t % hl8 == 0 and s_t % hr8 == 0 and n_tiles > 1
     if blocked:
         prev = nxt = xp
@@ -832,7 +903,7 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
         nxt_spec = lambda b_, i: (b_, i, 0)
 
     kernel = _make_act_conv_kernel(
-        s_t, p, cin, cout, s_true, rel_offsets, hl8, pad_lo, pad_hi,
+        s_t, p, cin, cout, s_true, rel_offsets, hl8, hr8, pad_lo, pad_hi,
         dot_dtype, len(residuals), out_scale)
     in_specs = [
         pl.BlockSpec((1, s_t, pcin), lambda b_, i: (b_, i, 0),
@@ -852,7 +923,7 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
                                      lambda b_, i: (b_, i, 0),
                                      memory_space=pltpu.VMEM))
         args.append(r)
-    y = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bsz, s, pcout), xp.dtype),
         grid=(bsz, n_tiles),
@@ -861,53 +932,6 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*args)
-    return _patch_edges_act_conv(y, xp, s_true, alpha, beta, logscale, w, b,
-                                 pad, dilation, p, residuals, out_scale)
-
-
-def _patch_edges_act_conv(y, xp, s_true, alpha, beta, logscale, w, b, pad,
-                          dilation, p, residuals, out_scale: float = 1.0):
-    """Recompute the first/last _PATCH_OUT unpacked fused outputs exactly
-    with the unfused composition on small unpacked slices."""
-    from ..models.bigvgan import conv1d
-
-    ctx_u = _PATCH_OUT + (w.shape[0] - 1) * dilation // 2 + 40
-    ctx = min(-(-ctx_u // p) + 2, s_true)
-
-    def exact(x_slice, res_slices, take_head: bool):
-        a_u = _reference_act(x_slice, alpha, beta, logscale)
-        y_u = conv1d(a_u, w, b, padding=pad, dilation=dilation)
-        for r in res_slices:
-            y_u = y_u + r
-        if out_scale != 1.0:
-            y_u = y_u * out_scale
-        return (y_u[:, :_PATCH_OUT, :] if take_head
-                else y_u[:, -_PATCH_OUT:, :])
-
-    left_x = unpack_time(xp[:, :ctx, :], p)
-    right_x = unpack_time(xp[:, s_true - ctx : s_true, :], p)
-    left_r = tuple(unpack_time(r[:, :ctx, :], p)[:, :, : w.shape[2]]
-                   for r in residuals)
-    right_r = tuple(unpack_time(r[:, s_true - ctx : s_true, :],
-                                p)[:, :, : w.shape[2]]
-                    for r in residuals)
-    left_y = exact(left_x, left_r, True)
-    right_y = exact(right_x, right_r, False)
-
-    rows = -(-_PATCH_OUT // p)
-    head = unpack_time(y[:, :rows, :], p)
-    head = jax.lax.dynamic_update_slice_in_dim(
-        head, left_y.astype(y.dtype), 0, axis=1)
-    y = jax.lax.dynamic_update_slice_in_dim(y, pack_time(head, p), 0, axis=1)
-
-    # the true tail ends at unpacked sample s_true*p; rows holding the last
-    # _PATCH_OUT samples
-    end_row = s_true  # exclusive, packed rows
-    tail = unpack_time(y[:, end_row - rows : end_row, :], p)
-    tail = jax.lax.dynamic_update_slice_in_dim(
-        tail, right_y.astype(y.dtype), rows * p - _PATCH_OUT, axis=1)
-    return jax.lax.dynamic_update_slice_in_dim(
-        y, pack_time(tail, p), end_row - rows, axis=1)
 
 
 # --- fused AMP unit: act -> conv -> act -> conv (+residual) in ONE kernel ------
@@ -955,7 +979,7 @@ def amp_unit_plan(k: int, dil1: int, p: int, c: int) -> int:
 
 def _make_amp_unit_kernel(s_t: int, p: int, c: int, s_true: int,
                           off1, pl1: int, ph1: int, off2, pl2: int,
-                          ph2: int, e2: int, hl8: int, dot_dtype,
+                          ph2: int, e2: int, hl8: int, hr8: int, dot_dtype,
                           out_scale: float):
     import jax.experimental.pallas as pl
 
@@ -970,47 +994,68 @@ def _make_amp_unit_kernel(s_t: int, p: int, c: int, s_true: int,
     def kernel(cur_ref, prev_ref, nxt_ref, ab1_ref, w1_ref, b1_ref,
                ab2_ref, w2_ref, b2_ref, *rest):
         res_refs, out_ref = rest[:-1], rest[-1]
+        i = pl.program_id(1)
+        tile_start = i * s_t
         ext = jnp.concatenate(
             [prev_ref[0].astype(jnp.float32),
              cur_ref[0].astype(jnp.float32),
              nxt_ref[0].astype(jnp.float32)], axis=0)  # rows -hl8 .. s_t+hr8
 
-        i = pl.program_id(1)
-        a1 = _act_rows(ext, -hl8, ab1_ref[0, :], ab1_ref[1, :], p, c,
-                       a1_lo, n_a1)
-        grow1 = i * s_t + a1_lo + jax.lax.broadcasted_iota(
-            jnp.int32, (n_a1, pc), 0)
-        a1 = jnp.where((grow1 >= 0) & (grow1 < s_true), a1, 0.0)
-        a1 = a1.astype(dot_dtype)
+        def conv1(a1):
+            t = jnp.zeros((n_t, pc), jnp.float32)
+            for qi, off in enumerate(off1):
+                t = t + jax.lax.dot_general(
+                    a1[off + pl1 : off + pl1 + n_t, :], w1_ref[qi],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return t + b1_ref[0, :].astype(jnp.float32)
 
-        t = jnp.zeros((n_t, pc), jnp.float32)
-        for qi, off in enumerate(off1):
-            t = t + jax.lax.dot_general(
-                a1[off + pl1 : off + pl1 + n_t, :], w1_ref[qi],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        t = t + b1_ref[0, :].astype(jnp.float32)
+        def finish(a2):
+            acc = jnp.zeros((s_t, pc), jnp.float32)
+            for qi, off in enumerate(off2):
+                acc = acc + jax.lax.dot_general(
+                    a2[off + pl2 : off + pl2 + s_t, :], w2_ref[qi],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            acc = acc + b2_ref[0, :].astype(jnp.float32)
+            acc = acc + cur_ref[0].astype(jnp.float32)  # the unit's residual
+            for res_ref in res_refs:
+                acc = acc + res_ref[0].astype(jnp.float32)
+            if out_scale != 1.0:
+                acc = acc * out_scale
+            out_ref[0, :, :] = acc.astype(out_ref.dtype)
 
-        a2 = _act_rows(t, t_lo, ab2_ref[0, :], ab2_ref[1, :], p, c,
-                       -pl2, s_t + pl2 + ph2)
-        grow2 = i * s_t - pl2 + jax.lax.broadcasted_iota(
-            jnp.int32, (s_t + pl2 + ph2, pc), 0)
-        a2 = jnp.where((grow2 >= 0) & (grow2 < s_true), a2, 0.0)
-        a2 = a2.astype(dot_dtype)
+        is_edge = (i == 0) | (tile_start + s_t + hr8 > s_true)
 
-        acc = jnp.zeros((s_t, pc), jnp.float32)
-        for qi, off in enumerate(off2):
-            acc = acc + jax.lax.dot_general(
-                a2[off + pl2 : off + pl2 + s_t, :], w2_ref[qi],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        acc = acc + b2_ref[0, :].astype(jnp.float32)
-        acc = acc + cur_ref[0].astype(jnp.float32)  # the unit's residual
-        for res_ref in res_refs:
-            acc = acc + res_ref[0].astype(jnp.float32)
-        if out_scale != 1.0:
-            acc = acc * out_scale
-        out_ref[0, :, :] = acc.astype(out_ref.dtype)
+        @pl.when(is_edge)
+        def _():
+            e2_ = _replicate_rows(ext, tile_start - hl8, s_true, p, c)
+            a1 = _act_rows(e2_, -hl8, ab1_ref[0, :], ab1_ref[1, :], p, c,
+                           a1_lo, n_a1, tile_start, s_true)
+            grow1 = tile_start + a1_lo + jax.lax.broadcasted_iota(
+                jnp.int32, (n_a1, pc), 0)
+            a1 = jnp.where((grow1 >= 0) & (grow1 < s_true), a1, 0.0)
+            t = conv1(a1.astype(dot_dtype))
+            # act2's up-FIR reads conv1's output with replicate clipping;
+            # t rows outside [0, s_true) hold conv-of-zeros junk —
+            # substitute the clipped edge content (t's local row 0 is abs
+            # row tile_start+t_lo)
+            t = _replicate_rows(t, tile_start + t_lo, s_true, p, c)
+            a2 = _act_rows(t, t_lo, ab2_ref[0, :], ab2_ref[1, :], p, c,
+                           -pl2, s_t + pl2 + ph2, tile_start, s_true)
+            grow2 = tile_start - pl2 + jax.lax.broadcasted_iota(
+                jnp.int32, (s_t + pl2 + ph2, pc), 0)
+            a2 = jnp.where((grow2 >= 0) & (grow2 < s_true), a2, 0.0)
+            finish(a2.astype(dot_dtype))
+
+        @pl.when(jnp.logical_not(is_edge))
+        def _():
+            a1 = _act_rows(ext, -hl8, ab1_ref[0, :], ab1_ref[1, :], p, c,
+                           a1_lo, n_a1)
+            t = conv1(a1.astype(dot_dtype))
+            a2 = _act_rows(t, t_lo, ab2_ref[0, :], ab2_ref[1, :], p, c,
+                           -pl2, s_t + pl2 + ph2)
+            finish(a2.astype(dot_dtype))
 
     return kernel
 
@@ -1025,35 +1070,16 @@ def pallas_packed_amp_unit(xp: jax.Array, alpha1: jax.Array, beta1,
     """One kernel computing ``out_scale * (conv2(act2(conv1(act1(xp)))) +
     xp + sum(extra_residuals))`` — a whole AMPBlock1 dilation unit. Equals
     the two fused act->conv pairs it replaces with both intermediates in
-    VMEM. The first/last patch of unpacked outputs is recomputed exactly
-    with the unfused composition."""
+    VMEM; sequence-edge replicate semantics are exact in-kernel (see the
+    act section header)."""
     interpret = interpret or jax.default_backend() != "tpu"
     bsz, s, pcin = xp.shape
     k1, cin, cout = w1.shape
     assert pcin == p * cin and cin == cout and w2.shape[1] == cin
     residuals = _as_residual_tuple(extra_residuals)
-    pc = p * cin
-
-    off1, pl1, ph1, off2, pl2, ph2, e2, hl8, hr8 = _unit_geometry(
-        k1, pad1, dil1, w2.shape[0], pad2, 1, p)
-    # edge contamination reach of the composed unit, in unpacked samples
-    patch_out = p * (max(pl1 + pl2, ph1 + ph2) + 2 * e2) + 16
-    ctx_u = patch_out + (k1 - 1) * dil1 // 2 + (w2.shape[0] - 1) // 2 + 40
-
-    def unfused(u, res):
-        a = pallas_packed_act_conv1d(
-            u, alpha1, beta1, logscale, w1, b1, pad=pad1, dilation=dil1,
-            p=p, dot_dtype=dot_dtype, interpret=interpret)
-        return pallas_packed_act_conv1d(
-            a, alpha2, beta2, logscale, w2, b2, pad=pad2, dilation=1, p=p,
-            residual=(u,) + res, out_scale=out_scale,
-            dot_dtype=dot_dtype, interpret=interpret)
-
-    if s * p < 2 * ctx_u + 2 * patch_out:  # too short to patch: go unfused
-        return unfused(xp, residuals)
 
     s_t = _pick_rows(s, cap=s_t_cap)
-    if s_t == 0:  # pad rows; the kernel masks by the TRUE length
+    if s_t == 0:  # pad rows; the kernel reads by the TRUE length
         s_pad = -(-max(64, s) // 8) * 8
         xq = jnp.pad(xp, ((0, 0), (0, s_pad - s), (0, 0)))
         rq = tuple(jnp.pad(r, ((0, 0), (0, s_pad - s), (0, 0)))
@@ -1061,16 +1087,15 @@ def pallas_packed_amp_unit(xp: jax.Array, alpha1: jax.Array, beta1,
         return _amp_unit_core(
             xq, s, alpha1, beta1, alpha2, beta2, logscale, w1, b1, w2, b2,
             pad1, dil1, pad2, p, rq, out_scale, dot_dtype, interpret,
-            _pick_rows(s_pad, cap=s_t_cap), patch_out, ctx_u)[:, :s, :]
+            _pick_rows(s_pad, cap=s_t_cap))[:, :s, :]
     return _amp_unit_core(xp, s, alpha1, beta1, alpha2, beta2, logscale,
                           w1, b1, w2, b2, pad1, dil1, pad2, p, residuals,
-                          out_scale, dot_dtype, interpret, s_t, patch_out,
-                          ctx_u)
+                          out_scale, dot_dtype, interpret, s_t)
 
 
 def _amp_unit_core(xp, s_true, alpha1, beta1, alpha2, beta2, logscale,
                    w1, b1, w2, b2, pad1, dil1, pad2, p, residuals,
-                   out_scale, dot_dtype, interpret, s_t, patch_out, ctx_u):
+                   out_scale, dot_dtype, interpret, s_t):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1113,7 +1138,7 @@ def _amp_unit_core(xp, s_true, alpha1, beta1, alpha2, beta2, logscale,
         nxt_spec = lambda b_, i: (b_, i, 0)
 
     kernel = _make_amp_unit_kernel(
-        s_t, p, cin, s_true, off1, pl1, ph1, off2, pl2, ph2, e2, hl8,
+        s_t, p, cin, s_true, off1, pl1, ph1, off2, pl2, ph2, e2, hl8, hr8,
         dot_dtype, out_scale)
     in_specs = [
         pl.BlockSpec((1, s_t, pcin), lambda b_, i: (b_, i, 0),
@@ -1140,7 +1165,7 @@ def _amp_unit_core(xp, s_true, alpha1, beta1, alpha2, beta2, logscale,
                                      lambda b_, i: (b_, i, 0),
                                      memory_space=pltpu.VMEM))
         args.append(r)
-    y = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bsz, s, pc), xp.dtype),
         grid=(bsz, n_tiles),
@@ -1149,49 +1174,3 @@ def _amp_unit_core(xp, s_true, alpha1, beta1, alpha2, beta2, logscale,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*args)
-    return _patch_edges_amp_unit(
-        y, xp, s_true, alpha1, beta1, alpha2, beta2, logscale, w1, b1,
-        w2, b2, pad1, dil1, pad2, p, residuals, out_scale, patch_out, ctx_u)
-
-
-def _patch_edges_amp_unit(y, xp, s_true, alpha1, beta1, alpha2, beta2,
-                          logscale, w1, b1, w2, b2, pad1, dil1, pad2, p,
-                          residuals, out_scale, patch_out, ctx_u):
-    """Recompute the first/last ``patch_out`` unpacked unit outputs exactly
-    with the unfused composition on small unpacked slices."""
-    from ..models.bigvgan import conv1d
-
-    ctx = min(-(-ctx_u // p) + 2, s_true)
-
-    def exact(x_slice, res_slices, take_head: bool):
-        a1 = _reference_act(x_slice, alpha1, beta1, logscale)
-        t = conv1d(a1, w1, b1, padding=pad1, dilation=dil1)
-        a2 = _reference_act(t, alpha2, beta2, logscale)
-        y_u = conv1d(a2, w2, b2, padding=pad2, dilation=1) + x_slice
-        for r in res_slices:
-            y_u = y_u + r
-        if out_scale != 1.0:
-            y_u = y_u * out_scale
-        return (y_u[:, :patch_out, :] if take_head
-                else y_u[:, -patch_out:, :])
-
-    left_x = unpack_time(xp[:, :ctx, :], p)
-    right_x = unpack_time(xp[:, s_true - ctx : s_true, :], p)
-    left_r = tuple(unpack_time(r[:, :ctx, :], p) for r in residuals)
-    right_r = tuple(unpack_time(r[:, s_true - ctx : s_true, :], p)
-                    for r in residuals)
-    left_y = exact(left_x, left_r, True)
-    right_y = exact(right_x, right_r, False)
-
-    rows = -(-patch_out // p)
-    head = unpack_time(y[:, :rows, :], p)
-    head = jax.lax.dynamic_update_slice_in_dim(
-        head, left_y.astype(y.dtype), 0, axis=1)
-    y = jax.lax.dynamic_update_slice_in_dim(y, pack_time(head, p), 0, axis=1)
-
-    end_row = s_true
-    tail = unpack_time(y[:, end_row - rows : end_row, :], p)
-    tail = jax.lax.dynamic_update_slice_in_dim(
-        tail, right_y.astype(y.dtype), rows * p - patch_out, axis=1)
-    return jax.lax.dynamic_update_slice_in_dim(
-        y, pack_time(tail, p), end_row - rows, axis=1)

@@ -20,8 +20,12 @@ import numpy as np
 from flowhigh_tpu import FlowHighConfig, FlowHighSR
 
 seconds, in_sr = 10.0, 16000
+# argv[1]: fuse_act_conv mode — "true" (units+pairs, the serving default),
+# "pairs" (pair fusion only, the A/B knob), "false" (no fusion)
+_mode = (sys.argv[1] if len(sys.argv) > 1 else "true").lower()
+fuse = {"true": True, "pairs": "pairs", "false": False}[_mode]
 sr = FlowHighSR(FlowHighConfig(), cfm_method="independent_cfm_adaptive",
-                ode_method="euler", fused_vocoder=True)
+                ode_method="euler", fused_vocoder=True, fuse_act_conv=fuse)
 sr.init_params(jax.random.PRNGKey(0), fast=True)
 rng = np.random.default_rng(0)
 t = np.arange(int(in_sr * seconds)) / in_sr
@@ -77,3 +81,9 @@ for e in ev:
 print(f"total device (2 iters): {sum(tot.values()):.1f} ms over {sum(cnt.values())} events")
 for n, v in sorted(tot.items(), key=lambda kv: -kv[1])[:45]:
     print(f"{v / 2:8.2f} ms  x{cnt[n] // 2:<4d} {n[:110]}")
+
+# dump per-op ms (per clip) for plan A/B diffing
+out_path = f"/tmp/trace_ops_{_mode}.json"
+with open(out_path, "w") as fh:
+    json.dump({n: v / 2 for n, v in tot.items()}, fh)
+print("wrote", out_path)
