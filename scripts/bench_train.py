@@ -7,6 +7,7 @@ batch is a CLI arg (default 32 — one v5e chip's HBM comfortably fits it with
 3 s clips; scale via the data mesh for the full 128)."""
 
 import argparse
+import dataclasses
 import json
 import pathlib
 import sys
@@ -22,6 +23,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--seconds", type=float, default=3.0)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="vector-field compute_dtype (params stay f32)")
     args = ap.parse_args()
 
     import jax
@@ -36,6 +40,9 @@ def main():
 
     cfg = FlowHighConfig().replace(train=TrainConfig(
         batch_size=args.batch, num_train_steps=1000, num_warmup_steps=0))
+    if args.dtype != "float32":
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, compute_dtype=args.dtype))
     tr = Trainer(cfg, cfm_method="independent_cfm_adaptive")
     state = tr.init_state(jax.random.PRNGKey(0))
 
@@ -62,7 +69,8 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
     print(json.dumps({
-        "metric": f"train_step_b{args.batch}_3s_devstaged",
+        "metric": f"train_step_b{args.batch}_3s_devstaged"
+                  + ("_bf16" if args.dtype == "bfloat16" else ""),
         "steps_per_sec": round(1 / dt, 2),
         "clips_per_sec": round(args.batch / dt, 1),
         "ms_per_step": round(dt * 1e3, 1),
