@@ -171,6 +171,52 @@ class AdaptiveStats(NamedTuple):
     n_loops: jax.Array     # [] int32 — solver iterations (NFE = 7 per loop)
 
 
+# 7-stage 5(4) embedded pairs, FSAL: (c, a, b5, b4) per tableau.
+# dopri5 = Dormand-Prince (scipy RK45 / torchdiffeq dopri5); tsit5 =
+# Tsitouras 2011 (the solver the reference's torchode path instantiates,
+# cfm_superresolution.py:259-276). Same stage count, same order, same
+# controller — only the coefficients differ.
+_DOPRI5_C = [0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0]
+_DOPRI5_A = [
+    [],
+    [1 / 5],
+    [3 / 40, 9 / 40],
+    [44 / 45, -56 / 15, 32 / 9],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+]
+_DOPRI5_B5 = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0]
+_DOPRI5_B4 = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+              187 / 2100, 1 / 40]
+
+_TSIT5_C = [0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0]
+_TSIT5_A = [
+    [],
+    [0.161],
+    [-0.008480655492356989, 0.335480655492357],
+    [2.8971530571054935, -6.359448489975075, 4.3622954328695815],
+    [5.325864828439257, -11.748883564062828, 7.4955393428898365,
+     -0.09249506636175525],
+    [5.86145544294642, -12.92096931784711, 8.159367898576159,
+     -0.071584973281401, -0.028269050394068383],
+    [0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+     -3.290069515436081, 2.324710524099774],
+]
+_TSIT5_B5 = _TSIT5_A[6] + [0.0]  # FSAL: 5th-order weights = last a row
+# embedded 4th order via the published btilde (= b5 - b4) residuals
+_TSIT5_BTILDE = [-0.00178001105222577714, -0.0008164344596567469,
+                 0.007880878010261995, -0.1447110071732629,
+                 0.5823571654525552, -0.45808210592918697,
+                 0.015151515151515152]
+_TSIT5_B4 = [b - e for b, e in zip(_TSIT5_B5, _TSIT5_BTILDE)]
+
+_TABLEAUS = {
+    "dopri5": (_DOPRI5_C, _DOPRI5_A, _DOPRI5_B5, _DOPRI5_B4),
+    "tsit5": (_TSIT5_C, _TSIT5_A, _TSIT5_B5, _TSIT5_B4),
+}
+
+
 def odeint_adaptive(
     f: Callable[[jax.Array, jax.Array], jax.Array],
     y0: jax.Array,
@@ -178,38 +224,31 @@ def odeint_adaptive(
     rtol: float = 1e-5,
     max_steps: int = 256,
     return_stats: bool = False,
+    tableau: str = "dopri5",
 ) -> jax.Array:
-    """Adaptive Dormand-Prince RK45 over t in [0, 1] with **per-sample** step
+    """Adaptive embedded RK45 over t in [0, 1] with **per-sample** step
     control — the reference's optional torchode path solves every batch item
     independently (reference: cfm_superresolution.py:259-276), and so does
     this: each item carries its own (t, h, error history), so an easy clip
     finishing in 3 steps never couples to a stiff neighbor's step size.
 
-    ``f(t, y)`` receives ``t`` of shape ``[B]`` (one time per item). The
-    step controller is a true PI controller (accepted steps use
-    ``0.9 * err^(-0.7/5) * err_prev^(0.4/5)``, Soderlind's standard
-    coefficients for order 5; rejections fall back to I-control capped at 1).
-    Runs as a ``lax.while_loop`` with a static bound so it stays one XLA
-    program; items that hit ``max_steps`` before t=1 are reported via
-    ``AdaptiveStats.converged`` (``return_stats=True``) instead of being
-    silently returned."""
+    ``tableau`` selects the coefficient set: ``"dopri5"`` (Dormand-Prince,
+    the default) or ``"tsit5"`` (Tsitouras 5(4), the solver torchode
+    instantiates in the reference). ``f(t, y)`` receives ``t`` of shape
+    ``[B]`` (one time per item). The step controller is a true PI controller
+    (accepted steps use ``0.9 * err^(-0.7/5) * err_prev^(0.4/5)``,
+    Soderlind's standard coefficients for order 5; rejections fall back to
+    I-control capped at 1). Runs as a ``lax.while_loop`` with a static bound
+    so it stays one XLA program; items that hit ``max_steps`` before t=1 are
+    reported via ``AdaptiveStats.converged`` (``return_stats=True``) instead
+    of being silently returned."""
     b = y0.shape[0]
     bshape = (b,) + (1,) * (y0.ndim - 1)
 
-    # Dormand-Prince 5(4) tableau
-    c = [0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0]
-    a = [
-        [],
-        [1 / 5],
-        [3 / 40, 9 / 40],
-        [44 / 45, -56 / 15, 32 / 9],
-        [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
-        [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
-        [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
-    ]
-    b5 = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0]
-    b4 = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
-          187 / 2100, 1 / 40]
+    if tableau not in _TABLEAUS:
+        raise ValueError(f"unknown tableau {tableau!r} "
+                         f"(options: {sorted(_TABLEAUS)})")
+    c, a, b5, b4 = _TABLEAUS[tableau]
     reduce_axes = tuple(range(1, y0.ndim))
 
     def rk_step(t, y, h):

@@ -122,6 +122,7 @@ class ConditionalFlowMatcherWrapper:
         torchdiffeq_ode_method: str = "midpoint",
         torchode_method_klass=None,
         cond_drop_prob: float = 0.0,
+        ode_tableau: Optional[str] = None,
     ):
         del torchode_method_klass
         self.flowhigh = flowhigh
@@ -129,9 +130,13 @@ class ConditionalFlowMatcherWrapper:
         self.cfm_method = cfm_method
         self.ode_method = torchdiffeq_ode_method
         self.cond_drop_prob = cond_drop_prob
-        self.use_adaptive = use_torchode  # adaptive RK45 instead of fixed grid
+        self.use_adaptive = use_torchode  # adaptive solver instead of fixed grid
         self.ode_atol = ode_atol
         self.ode_rtol = ode_rtol
+        # the reference's torchode path is Tsit5 (cfm_superresolution.py:
+        # 259-276) — match the named solver when the reference flag is used
+        self.ode_tableau = ode_tableau or ("tsit5" if use_torchode
+                                           else "dopri5")
 
     def _mel_cfg(self):
         enc = self.flowhigh.audio_enc_dec
@@ -181,7 +186,8 @@ class ConditionalFlowMatcherWrapper:
             from .cfm import odeint_adaptive
             from .sr import _warn_if_unconverged
             sampled, stats = odeint_adaptive(
-                ode_fn, y0, self.ode_atol, self.ode_rtol, return_stats=True)
+                ode_fn, y0, self.ode_atol, self.ode_rtol, return_stats=True,
+                tableau=self.ode_tableau)
             _warn_if_unconverged(stats)
         else:
             sampled = odeint_fixed(ode_fn, y0, time_steps, self.ode_method)

@@ -58,7 +58,10 @@ def initialize(
     Idempotent: safe to call from every entry point.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    # NOTE: jax.process_count() would itself initialize the XLA backend,
+    # after which jax.distributed.initialize refuses to run — only query it
+    # when the distributed client already exists (or we know we're done).
+    if _initialized or jax.distributed.is_initialized():
         _initialized = True
         return jax.process_index(), jax.process_count()
 

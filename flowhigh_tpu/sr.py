@@ -113,15 +113,21 @@ class FlowHighSR:
         use_torchode: bool = False,
         ode_atol: float = 1e-5,
         ode_rtol: float = 1e-5,
+        ode_tableau: Optional[str] = None,
     ):
         self.config = config
         self.cfm_method = cfm_method or config.cfm.cfm_method
         self.sigma = config.cfm.sigma if sigma is None else sigma
         self.ode_method = ode_method or config.cfm.ode_method
-        if use_torchode:  # reference flag name; here: adaptive RK45
+        if use_torchode:  # reference flag name; here: adaptive solver
             self.ode_method = "adaptive"
         self.ode_atol = ode_atol
         self.ode_rtol = ode_rtol
+        # torchode instantiates Tsit5 (cfm_superresolution.py:259-276), so
+        # the reference flag selects the matching tableau; plain "adaptive"
+        # keeps Dormand-Prince (scipy RK45's pair)
+        self.ode_tableau = ode_tableau or ("tsit5" if use_torchode
+                                           else "dopri5")
         self.cond_drop_prob = cond_drop_prob
         if upsampling_method not in ("scipy", "librosa"):
             # the reference silently hits UnboundLocalError here
@@ -219,7 +225,8 @@ class FlowHighSR:
         stats = None
         if ode_method == "adaptive":
             sampled, stats = odeint_adaptive(
-                ode_fn, y0, self.ode_atol, self.ode_rtol, return_stats=True)
+                ode_fn, y0, self.ode_atol, self.ode_rtol, return_stats=True,
+                tableau=self.ode_tableau)
         else:
             sampled = odeint_fixed(ode_fn, y0, time_steps, ode_method)
 
@@ -323,7 +330,8 @@ class FlowHighSR:
         stats = None
         if ode_method == "adaptive":
             sampled, stats = odeint_adaptive(
-                ode_fn, y0, self.ode_atol, self.ode_rtol, return_stats=True)
+                ode_fn, y0, self.ode_atol, self.ode_rtol, return_stats=True,
+                tableau=self.ode_tableau)
         else:
             sampled = odeint_fixed(ode_fn, y0, time_steps, ode_method)
         return sampled, cond, n_valid48, stats

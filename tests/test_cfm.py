@@ -324,7 +324,52 @@ class TestAdaptiveSolver:
         fh.init_params(jax.random.PRNGKey(0))
         w = ConditionalFlowMatcherWrapper(fh, use_torchode=True,
                                           cfm_method="basic_cfm")
+        # torchode in the reference is Tsit5 — the flag selects that tableau
+        assert w.ode_tableau == "tsit5"
         cond = jnp.asarray(rng.standard_normal((1, 12, 8)).astype(np.float32))
         mel = w.sample(cond=cond, decode_to_audio=False)
         assert mel.shape == (1, 12, 8)
         assert np.isfinite(np.asarray(mel)).all()
+
+    def test_tsit5_matches_scipy_solve_ivp(self):
+        """Tsit5 tableau (the reference torchode solver's pair,
+        cfm_superresolution.py:259-276): same consistency bar as dopri5."""
+        from flowhigh_tpu.cfm import odeint_adaptive
+        import scipy.integrate as si
+        f = lambda t, y: -2 * y + jnp.sin(10 * t)
+        got = float(odeint_adaptive(f, jnp.ones((1,)), 1e-7, 1e-7,
+                                    tableau="tsit5")[0])
+        ref = si.solve_ivp(lambda t, y: -2 * y + np.sin(10 * t), (0, 1), [1.0],
+                           rtol=1e-9, atol=1e-9).y[0, -1]
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_tsit5_matches_dopri5(self, rng):
+        from flowhigh_tpu.cfm import odeint_adaptive
+        a = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32) * 0.5)
+        f = lambda t, y: a - y * 0.3
+        y0 = jnp.zeros((4, 8))
+        dopri = odeint_adaptive(f, y0, 1e-6, 1e-6, tableau="dopri5")
+        tsit = odeint_adaptive(f, y0, 1e-6, 1e-6, tableau="tsit5")
+        np.testing.assert_allclose(np.asarray(tsit), np.asarray(dopri),
+                                   atol=1e-4)
+
+    def test_tsit5_order(self):
+        """The embedded pair really is 5(4): halving tolerance must shrink
+        the error, and the 5th-order propagation beats a coarse fixed grid."""
+        from flowhigh_tpu.cfm import odeint_adaptive
+        import scipy.integrate as si
+        f = lambda t, y: jnp.cos(8 * t) * y
+        ref = si.solve_ivp(lambda t, y: np.cos(8 * t) * y, (0, 1), [1.0],
+                           rtol=1e-12, atol=1e-12).y[0, -1]
+        coarse = abs(float(odeint_adaptive(
+            f, jnp.ones((1,)), 1e-4, 1e-4, tableau="tsit5")[0]) - ref)
+        # (tighter than 1e-6 hits the f32 accumulation floor ~1e-6)
+        fine = abs(float(odeint_adaptive(
+            f, jnp.ones((1,)), 1e-6, 1e-6, tableau="tsit5")[0]) - ref)
+        assert fine < coarse
+        assert fine < 2e-6
+
+    def test_unknown_tableau_rejected(self):
+        from flowhigh_tpu.cfm import odeint_adaptive
+        with pytest.raises(ValueError, match="tableau"):
+            odeint_adaptive(lambda t, y: -y, jnp.ones((1,)), tableau="rk4")
