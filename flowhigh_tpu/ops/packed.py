@@ -962,17 +962,22 @@ def amp_unit_plan(k: int, dil1: int, p: int, c: int) -> int:
     working sets and the conv1 intermediate. Rules from the round-3 TPU cap
     sweep (scripts/bench_amp_unit.py, PERF.md): the unit beats two fused
     pairs ONLY where packing does not inflate conv1's tap count
-    (``n1 <= k``; at p=2 with d∈{3,5} the packed rewrite carries 11/17 taps
-    for k=7/11 and the in-kernel MXU work swamps the saved HBM round-trip —
-    measured -0.3..-0.7 ms/unit) and the resident weights stay ≤8 MiB.
-    Within the eligible set, bigger time tiles always measured faster
-    (128 < 256 < 512), so eligible units run at cap 512."""
+    (at p=2 with d∈{3,5} the packed rewrite carries 11/17 taps for k=7/11
+    and the in-kernel MXU work swamps the saved HBM round-trip — measured
+    -0.3..-0.7 ms/unit) and the resident weights stay ≤8 MiB. The round-4
+    in-program trace A/B (scripts/compare_trace_plans.py, PERF.md round-4)
+    tightened the tap bound to ``n1 <= 7``: the two eligible-by-``n1<=k``
+    units with n1=9 (k=11 d=3 p=4 and k=11 d=5 p=8) each ran ~2.5 ms
+    SLOWER as units than as two pairs (5.4/5.8 vs 2.9/3.1 ms), while every
+    n1<=7 unit won by +0.02..+0.14 ms. Within the eligible set, bigger
+    time tiles always measured faster (128 < 256 < 512), so eligible units
+    run at cap 512."""
     pad1 = (k * dil1 - dil1) // 2
     pad2 = (k - 1) // 2
     n1 = len(_nonzero_taps(k, pad1, dil1, p)[0])
     n2 = len(_nonzero_taps(k, pad2, 1, p)[0])
     wbytes = (n1 + n2) * (p * c) * (p * c) * 4
-    if n1 <= k and wbytes <= 8 * 2**20:
+    if n1 <= 7 and wbytes <= 8 * 2**20:
         return 512
     return 0
 
