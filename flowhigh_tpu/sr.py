@@ -542,16 +542,24 @@ class FlowHighSR:
 
     def dispatch_generate(self, batch: np.ndarray, lens: np.ndarray, sr: int,
                           target_sampling_rate: int = 48000,
-                          timestep: int = 1, seed: int = 0):
+                          timestep: int = 1, seed: int = 0, key=None):
         """Async-dispatch one pre-padded [B, T] batch through the jitted
         pipeline and return DEVICE arrays (out, n48, stats) immediately —
         JAX dispatch is asynchronous, so callers (StreamingSR) can keep
         several batches in flight: batch k+1's host->device upload overlaps
-        batch k's compute instead of serializing on each ``np.asarray``."""
+        batch k's compute instead of serializing on each ``np.asarray``.
+
+        Latency-sensitive callers pass already-on-device ``batch``/``lens``
+        (via ``jax.device_put`` on their own uploader thread) and a
+        precomputed ``key`` — each host->device transfer issued inside the
+        dispatch loop costs a blocking control round-trip on tunneled
+        deployments (measured ~30 ms/chunk on the 5-min streaming bench)."""
         std_1, std_2 = self._default_stds()
+        if key is None:
+            key = jax.random.PRNGKey(seed)
         return self._generate_jit(
             self.params, self.melvoco.vocoder_params,
-            jnp.asarray(batch), jnp.asarray(lens), jax.random.PRNGKey(seed),
+            jnp.asarray(batch), jnp.asarray(lens), key,
             int(sr), int(target_sampling_rate), int(timestep),
             self.cfm_method, self.ode_method, float(std_1), float(std_2))
 

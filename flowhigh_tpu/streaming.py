@@ -98,14 +98,41 @@ class StreamingSR:
         import queue
         import threading
 
+        import jax
+
         starts = list(range(0, n_chunks, self.batch_size))
         ys: list = []
         errs: list = []
-        # bounded handoff: the main thread only dispatches (async — returns
-        # device futures immediately); the fetch thread owns every blocking
-        # device->host download, so downloads overlap both compute and the
-        # next dispatches. Queue capacity = batches in flight (HBM bound).
+        # three-stage pipeline over the tunnel: an UPLOADER thread owns every
+        # host->device transfer (each jnp.asarray issued from the dispatch
+        # loop costs a blocking control round-trip — measured ~30 ms/chunk),
+        # the MAIN thread only dispatches (async), and a FETCH thread owns
+        # every blocking device->host download. Queue capacities bound the
+        # batches in flight (device HBM backpressure).
+        q_up: "queue.Queue" = queue.Queue(maxsize=4)
         q: "queue.Queue" = queue.Queue(maxsize=self.pipeline_depth)
+        # per-batch keys: ONE upload + one on-device split instead of a
+        # PRNGKey program dispatch per chunk
+        keys = jax.random.split(jax.random.PRNGKey(seed), len(starts))
+        lens_d = jax.device_put(
+            np.full((self.batch_size,), chunk_in, np.int32))
+
+        def uploader():
+            for b0 in starts:
+                batch = segs[b0 : b0 + self.batch_size]
+                nb = len(batch)
+                if nb < self.batch_size:
+                    # pad rows so every batch reuses ONE compiled program
+                    batch = batch + [np.zeros(chunk_in, np.float32)] * (
+                        self.batch_size - nb)
+                try:
+                    arr_d = jax.device_put(np.stack(batch))
+                except Exception as e:
+                    errs.append(e)
+                    q_up.put(None)
+                    return
+                q_up.put((arr_d, nb))
+            q_up.put(None)
 
         def fetcher():
             while True:
@@ -120,25 +147,24 @@ class StreamingSR:
                 except Exception as e:  # surface after join; keep draining
                     errs.append(e)
 
+        th_up = threading.Thread(target=uploader, daemon=True)
         th = threading.Thread(target=fetcher, daemon=True)
+        th_up.start()
         th.start()
         try:
-            for b0 in starts:
-                batch = segs[b0 : b0 + self.batch_size]
-                nb = len(batch)
-                if nb < self.batch_size:
-                    # pad rows so every batch reuses ONE compiled program
-                    batch = batch + [np.zeros(chunk_in, np.float32)] * (
-                        self.batch_size - nb)
-                arr = np.stack(batch)
-                lens = np.full((len(batch),), chunk_in, np.int32)
+            for bi, b0 in enumerate(starts):
+                item = q_up.get()
+                if item is None:
+                    break
+                arr_d, nb = item
                 out_d, _, stats = self.model.dispatch_generate(
-                    arr, lens, sr, target_sampling_rate, timestep,
-                    seed=seed + b0)
+                    arr_d, lens_d, sr, target_sampling_rate, timestep,
+                    key=keys[bi])
                 q.put((out_d, nb, stats))  # blocks only at full depth
         finally:
             q.put(None)
             th.join()
+            th_up.join()
         if errs:
             raise errs[0]
 
