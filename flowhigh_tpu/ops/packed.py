@@ -541,7 +541,7 @@ def _lane_shifter(arr, base: int, p: int, c: int):
 
 def _act_rows(ext, ext_base: int, alpha, beta, p: int, c: int,
               row_lo: int, n_rows: int, tile_start=None,
-              s_true: Optional[int] = None):
+              s_true: Optional[int] = None, ush_x=None):
     """Anti-aliased snake over packed act rows [row_lo, row_lo + n_rows)
     given the f32 input window ``ext`` whose row 0 is packed row
     ``ext_base``. The in-VMEM act body shared by all three Pallas kernels:
@@ -554,7 +554,11 @@ def _act_rows(ext, ext_base: int, alpha, beta, p: int, c: int,
     negative index lands on 2x-sample 0 (= se phase 0 of abs row 0) and any
     past-the-end index on 2x-sample 2T-1 (= so phase p-1 of abs row
     s_true-1). The caller is responsible for replicate-substituting ``ext``
-    itself (the up-FIR side)."""
+    itself (the up-FIR side).
+
+    ``ush_x`` optionally shares a prebuilt ``_lane_shifter(ext, ext_base,
+    p, c)`` across calls — its full-array roll cache is the dominant
+    non-snake VPU act cost, so subtile-pipelined callers pass one."""
     h, we, wo = _act_filters()
     pc = p * c
     # se/so row window: every down-FIR tap m in [-3, 3] reads packed row
@@ -563,7 +567,8 @@ def _act_rows(ext, ext_base: int, alpha, beta, p: int, c: int,
     # callers' _H=8 input halo for all p (x accesses reach +-2*ceil(3/p)).
     e = -(-3 // p)
     n_s = n_rows + 2 * e
-    ush_x = _lane_shifter(ext, ext_base, p, c)
+    if ush_x is None:
+        ush_x = _lane_shifter(ext, ext_base, p, c)
     se = jnp.zeros((n_s, pc), jnp.float32)
     so = jnp.zeros((n_s, pc), jnp.float32)
     for d in range(-3, 4):  # build each shift once, MAC, let it die
@@ -726,13 +731,14 @@ def packed_act_reference(xp: jax.Array, alpha: jax.Array,
 def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
                           rel_offsets, hl8: int, hr8: int, pad_lo: int,
                           pad_hi: int, dot_dtype, n_res: int,
-                          out_scale: float = 1.0):
+                          out_scale: float = 1.0, pipeline: int = 1):
     import jax.experimental.pallas as pl
 
     pc = p * c
     pcout = p * cout
     act_lo = -pad_lo
     n_a = s_t + pad_lo + pad_hi
+    sh = s_t // pipeline  # subtile rows (pipeline > 1: VPU/MXU interleave)
 
     def kernel(cur_ref, prev_ref, nxt_ref, ab_ref, w_ref, b_ref, *rest):
         res_refs, out_ref = rest[:-1], rest[-1]
@@ -743,19 +749,22 @@ def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
              cur_ref[0].astype(jnp.float32),
              nxt_ref[0].astype(jnp.float32)], axis=0)  # rows -hl8 .. s_t+hr8
 
-        def finish(a):
-            acc = jnp.zeros((s_t, pcout), jnp.float32)
+        def conv(a, row0: int, n: int):
+            acc = jnp.zeros((n, pcout), jnp.float32)
             for qi, off in enumerate(rel_offsets):
                 acc = acc + jax.lax.dot_general(
-                    a[off + pad_lo : off + pad_lo + s_t, :], w_ref[qi],
+                    a[off + pad_lo : off + pad_lo + n, :], w_ref[qi],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             acc = acc + b_ref[0, :].astype(jnp.float32)
             for res_ref in res_refs:
-                acc = acc + res_ref[0].astype(jnp.float32)
+                acc = acc + res_ref[0, row0 : row0 + n].astype(jnp.float32)
             if out_scale != 1.0:
                 acc = acc * out_scale
-            out_ref[0, :, :] = acc.astype(out_ref.dtype)
+            return acc
+
+        def finish(a):
+            out_ref[0, :, :] = conv(a, 0, s_t).astype(out_ref.dtype)
 
         is_edge = (i == 0) | (tile_start + s_t + hr8 > s_true)
 
@@ -774,9 +783,28 @@ def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
 
         @pl.when(jnp.logical_not(is_edge))
         def _():
-            a = _act_rows(ext, -hl8, ab_ref[0, :], ab_ref[1, :], p, c,
-                          act_lo, n_a)
-            finish(a.astype(dot_dtype))
+            if pipeline <= 1:
+                a = _act_rows(ext, -hl8, ab_ref[0, :], ab_ref[1, :], p, c,
+                              act_lo, n_a)
+                finish(a.astype(dot_dtype))
+                return
+            # Subtile software pipeline (see _make_amp_unit_kernel): emit
+            # the next subtile's act (VPU) between this subtile's conv dots
+            # (MXU) so the engines can dual-issue.
+            ush_x = _lane_shifter(ext, -hl8, p, c)
+            n_a_q = sh + pad_lo + pad_hi
+
+            def act_q(q):
+                return _act_rows(ext, -hl8, ab_ref[0, :], ab_ref[1, :],
+                                 p, c, q * sh - pad_lo, n_a_q, ush_x=ush_x)
+
+            a_next = act_q(0)
+            for q in range(pipeline):
+                a_cur = a_next
+                if q + 1 < pipeline:
+                    a_next = act_q(q + 1)                       # VPU
+                o_q = conv(a_cur.astype(dot_dtype), q * sh, sh)  # MXU
+                out_ref[0, q * sh : (q + 1) * sh, :] = o_q.astype(out_ref.dtype)
 
     return kernel
 
@@ -817,7 +845,8 @@ def pallas_packed_act_conv1d(xp: jax.Array, alpha: jax.Array,
                              residual=None, out_scale: float = 1.0,
                              dot_dtype=jnp.float32,
                              interpret: bool = False,
-                             s_t_cap: int = 256) -> jax.Array:
+                             s_t_cap: int = 256,
+                             pipeline: int = 1) -> jax.Array:
     """One kernel computing ``out_scale * (conv(act(xp)) + sum(residuals))``:
     equals pallas_packed_conv1d(packed_snake_activation1d(xp, ...), w, b,
     ...) with the intermediate kept in VMEM. ``residual`` may be one array
@@ -841,24 +870,25 @@ def pallas_packed_act_conv1d(xp: jax.Array, alpha: jax.Array,
                    for r in residuals)
         return _act_conv_padded(xq, s, alpha, beta, logscale, w, b, pad,
                                 dilation, p, rq, out_scale, dot_dtype,
-                                interpret, s_t_cap)[:, :s, :]
+                                interpret, s_t_cap, pipeline)[:, :s, :]
     return _act_conv_core(xp, s, s_t, alpha, beta, logscale, w, b, pad,
                           dilation, p, residuals, out_scale, dot_dtype,
-                          interpret)
+                          interpret, pipeline)
 
 
 def _act_conv_padded(xq, s_true, alpha, beta, logscale, w, b, pad, dilation,
                      p, residuals, out_scale, dot_dtype, interpret,
-                     s_t_cap: int = 256):
+                     s_t_cap: int = 256, pipeline: int = 1):
     s_pad = xq.shape[1]
     s_t = _pick_rows(s_pad, cap=s_t_cap)
     return _act_conv_core(xq, s_true, s_t, alpha, beta, logscale, w, b, pad,
                           dilation, p, residuals, out_scale, dot_dtype,
-                          interpret)
+                          interpret, pipeline)
 
 
 def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
-                   dilation, p, residuals, out_scale, dot_dtype, interpret):
+                   dilation, p, residuals, out_scale, dot_dtype, interpret,
+                   pipeline: int = 1):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -902,9 +932,11 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
         prev_spec = lambda b_, i: (b_, i, 0)
         nxt_spec = lambda b_, i: (b_, i, 0)
 
+    if pipeline > 1 and s_t % (8 * pipeline) != 0:
+        pipeline = 1  # subtiles must stay sublane-aligned
     kernel = _make_act_conv_kernel(
         s_t, p, cin, cout, s_true, rel_offsets, hl8, hr8, pad_lo, pad_hi,
-        dot_dtype, len(residuals), out_scale)
+        dot_dtype, len(residuals), out_scale, pipeline)
     in_specs = [
         pl.BlockSpec((1, s_t, pcin), lambda b_, i: (b_, i, 0),
                      memory_space=pltpu.VMEM),
@@ -985,7 +1017,7 @@ def amp_unit_plan(k: int, dil1: int, p: int, c: int) -> int:
 def _make_amp_unit_kernel(s_t: int, p: int, c: int, s_true: int,
                           off1, pl1: int, ph1: int, off2, pl2: int,
                           ph2: int, e2: int, hl8: int, hr8: int, dot_dtype,
-                          out_scale: float):
+                          out_scale: float, pipeline: int = 1):
     import jax.experimental.pallas as pl
 
     pc = p * c
@@ -995,6 +1027,7 @@ def _make_amp_unit_kernel(s_t: int, p: int, c: int, s_true: int,
     n_t = s_t + pl2 + ph2 + 2 * e2
     a1_lo = t_lo - pl1
     n_a1 = n_t + pl1 + ph1
+    sh = s_t // pipeline  # subtile rows (pipeline > 1: VPU/MXU interleave)
 
     def kernel(cur_ref, prev_ref, nxt_ref, ab1_ref, w1_ref, b1_ref,
                ab2_ref, w2_ref, b2_ref, *rest):
@@ -1006,29 +1039,32 @@ def _make_amp_unit_kernel(s_t: int, p: int, c: int, s_true: int,
              cur_ref[0].astype(jnp.float32),
              nxt_ref[0].astype(jnp.float32)], axis=0)  # rows -hl8 .. s_t+hr8
 
-        def conv1(a1):
-            t = jnp.zeros((n_t, pc), jnp.float32)
+        def conv1(a1, n=n_t):
+            t = jnp.zeros((n, pc), jnp.float32)
             for qi, off in enumerate(off1):
                 t = t + jax.lax.dot_general(
-                    a1[off + pl1 : off + pl1 + n_t, :], w1_ref[qi],
+                    a1[off + pl1 : off + pl1 + n, :], w1_ref[qi],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             return t + b1_ref[0, :].astype(jnp.float32)
 
-        def finish(a2):
-            acc = jnp.zeros((s_t, pc), jnp.float32)
+        def conv2(a2, row0: int, n: int):
+            acc = jnp.zeros((n, pc), jnp.float32)
             for qi, off in enumerate(off2):
                 acc = acc + jax.lax.dot_general(
-                    a2[off + pl2 : off + pl2 + s_t, :], w2_ref[qi],
+                    a2[off + pl2 : off + pl2 + n, :], w2_ref[qi],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             acc = acc + b2_ref[0, :].astype(jnp.float32)
-            acc = acc + cur_ref[0].astype(jnp.float32)  # the unit's residual
+            acc = acc + cur_ref[0, row0 : row0 + n].astype(jnp.float32)
             for res_ref in res_refs:
-                acc = acc + res_ref[0].astype(jnp.float32)
+                acc = acc + res_ref[0, row0 : row0 + n].astype(jnp.float32)
             if out_scale != 1.0:
                 acc = acc * out_scale
-            out_ref[0, :, :] = acc.astype(out_ref.dtype)
+            return acc
+
+        def finish(a2):
+            out_ref[0, :, :] = conv2(a2, 0, s_t).astype(out_ref.dtype)
 
         is_edge = (i == 0) | (tile_start + s_t + hr8 > s_true)
 
@@ -1055,12 +1091,42 @@ def _make_amp_unit_kernel(s_t: int, p: int, c: int, s_true: int,
 
         @pl.when(jnp.logical_not(is_edge))
         def _():
-            a1 = _act_rows(ext, -hl8, ab1_ref[0, :], ab1_ref[1, :], p, c,
-                           a1_lo, n_a1)
-            t = conv1(a1.astype(dot_dtype))
-            a2 = _act_rows(t, t_lo, ab2_ref[0, :], ab2_ref[1, :], p, c,
-                           -pl2, s_t + pl2 + ph2)
-            finish(a2.astype(dot_dtype))
+            if pipeline <= 1:
+                a1 = _act_rows(ext, -hl8, ab1_ref[0, :], ab1_ref[1, :], p, c,
+                               a1_lo, n_a1)
+                t = conv1(a1.astype(dot_dtype))
+                a2 = _act_rows(t, t_lo, ab2_ref[0, :], ab2_ref[1, :], p, c,
+                               -pl2, s_t + pl2 + ph2)
+                finish(a2.astype(dot_dtype))
+                return
+            # Subtile software pipeline: the monolithic chain act1(VPU) ->
+            # conv1(MXU) -> act2(VPU) -> conv2(MXU) serializes the two
+            # engines (measured ~30% of BOTH peaks, PERF.md round-4 MFU
+            # table). Splitting the tile into `pipeline` row subtiles and
+            # interleaving emission puts independent VPU work (next
+            # subtile's act) adjacent to each MXU dot so Mosaic's scheduler
+            # can dual-issue. Each subtile recomputes the small act/conv
+            # halos; the ext lane-roll cache is shared via ush_x.
+            ush_x = _lane_shifter(ext, -hl8, p, c)
+            n_t_q = sh + pl2 + ph2 + 2 * e2   # conv1 rows per subtile
+            n_a2_q = sh + pl2 + ph2           # act2 rows per subtile
+
+            def act1_q(q):
+                lo = (q * sh - (pl2 + e2)) - pl1
+                return _act_rows(ext, -hl8, ab1_ref[0, :], ab1_ref[1, :],
+                                 p, c, lo, n_t_q + pl1 + ph1, ush_x=ush_x)
+
+            a1_next = act1_q(0)
+            for q in range(pipeline):
+                a1_cur = a1_next
+                t_q = conv1(a1_cur.astype(dot_dtype), n=n_t_q)      # MXU
+                if q + 1 < pipeline:
+                    a1_next = act1_q(q + 1)                         # VPU
+                a2_q = _act_rows(t_q, q * sh - (pl2 + e2),          # VPU
+                                 ab2_ref[0, :], ab2_ref[1, :], p, c,
+                                 q * sh - pl2, n_a2_q)
+                o_q = conv2(a2_q.astype(dot_dtype), q * sh, sh)     # MXU
+                out_ref[0, q * sh : (q + 1) * sh, :] = o_q.astype(out_ref.dtype)
 
     return kernel
 
@@ -1071,12 +1137,15 @@ def pallas_packed_amp_unit(xp: jax.Array, alpha1: jax.Array, beta1,
                            pad1: int, dil1: int, pad2: int, p: int,
                            extra_residuals=None, out_scale: float = 1.0,
                            dot_dtype=jnp.float32, interpret: bool = False,
-                           s_t_cap: int = 128) -> jax.Array:
+                           s_t_cap: int = 128, pipeline: int = 1) -> jax.Array:
     """One kernel computing ``out_scale * (conv2(act2(conv1(act1(xp)))) +
     xp + sum(extra_residuals))`` — a whole AMPBlock1 dilation unit. Equals
     the two fused act->conv pairs it replaces with both intermediates in
     VMEM; sequence-edge replicate semantics are exact in-kernel (see the
-    act section header)."""
+    act section header). ``pipeline`` > 1 splits interior tiles into that
+    many row subtiles with interleaved act/conv emission so the VPU snake
+    work and MXU conv dots can dual-issue (same math, small halo
+    recompute)."""
     interpret = interpret or jax.default_backend() != "tpu"
     bsz, s, pcin = xp.shape
     k1, cin, cout = w1.shape
@@ -1092,15 +1161,15 @@ def pallas_packed_amp_unit(xp: jax.Array, alpha1: jax.Array, beta1,
         return _amp_unit_core(
             xq, s, alpha1, beta1, alpha2, beta2, logscale, w1, b1, w2, b2,
             pad1, dil1, pad2, p, rq, out_scale, dot_dtype, interpret,
-            _pick_rows(s_pad, cap=s_t_cap))[:, :s, :]
+            _pick_rows(s_pad, cap=s_t_cap), pipeline)[:, :s, :]
     return _amp_unit_core(xp, s, alpha1, beta1, alpha2, beta2, logscale,
                           w1, b1, w2, b2, pad1, dil1, pad2, p, residuals,
-                          out_scale, dot_dtype, interpret, s_t)
+                          out_scale, dot_dtype, interpret, s_t, pipeline)
 
 
 def _amp_unit_core(xp, s_true, alpha1, beta1, alpha2, beta2, logscale,
                    w1, b1, w2, b2, pad1, dil1, pad2, p, residuals,
-                   out_scale, dot_dtype, interpret, s_t):
+                   out_scale, dot_dtype, interpret, s_t, pipeline: int = 1):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1142,9 +1211,11 @@ def _amp_unit_core(xp, s_true, alpha1, beta1, alpha2, beta2, logscale,
         prev_spec = lambda b_, i: (b_, i, 0)
         nxt_spec = lambda b_, i: (b_, i, 0)
 
+    if pipeline > 1 and s_t % (8 * pipeline) != 0:
+        pipeline = 1  # subtiles must stay sublane-aligned
     kernel = _make_amp_unit_kernel(
         s_t, p, cin, s_true, off1, pl1, ph1, off2, pl2, ph2, e2, hl8, hr8,
-        dot_dtype, out_scale)
+        dot_dtype, out_scale, pipeline)
     in_specs = [
         pl.BlockSpec((1, s_t, pcin), lambda b_, i: (b_, i, 0),
                      memory_space=pltpu.VMEM),

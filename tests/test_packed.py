@@ -372,6 +372,48 @@ class TestFusedActConv:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=3e-4, rtol=2e-4)
 
+    @pytest.mark.parametrize("pipe", [2, 4])
+    def test_subtile_pipeline_matches_monolithic(self, rng, pipe):
+        """pipeline>1 (interleaved VPU/MXU subtile emission) must be
+        numerically identical math to the monolithic kernel, for both the
+        unit and pair kernels, including edge tiles and sublane-misaligned
+        fallbacks."""
+        from flowhigh_tpu.ops.packed import (pallas_packed_act_conv1d,
+                                             pallas_packed_amp_unit)
+        for (p, c, k, d, s) in [(8, 48, 7, 3, 128), (4, 96, 11, 1, 192),
+                                (2, 192, 3, 1, 64), (8, 48, 3, 1, 250)]:
+            xp = jnp.asarray(
+                rng.standard_normal((1, s, p * c)).astype(np.float32) * 0.4)
+            a1 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.2)
+            be1 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.2)
+            a2 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.2)
+            be2 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.2)
+            w1 = jnp.asarray(
+                rng.standard_normal((k, c, c)).astype(np.float32) * 0.05)
+            b1 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+            w2 = jnp.asarray(
+                rng.standard_normal((k, c, c)).astype(np.float32) * 0.05)
+            b2 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+            pad1, pad2 = (k * d - d) // 2, (k - 1) // 2
+            kw = dict(pad1=pad1, dil1=d, pad2=pad2, p=p, interpret=True,
+                      s_t_cap=64)
+            ref = pallas_packed_amp_unit(xp, a1, be1, a2, be2, True, w1, b1,
+                                         w2, b2, pipeline=1, **kw)
+            got = pallas_packed_amp_unit(xp, a1, be1, a2, be2, True, w1, b1,
+                                         w2, b2, pipeline=pipe, **kw)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-5, rtol=1e-5)
+            pref = pallas_packed_act_conv1d(xp, a1, be1, True, w1, b1,
+                                            pad=pad1, dilation=d, p=p,
+                                            interpret=True, s_t_cap=64,
+                                            pipeline=1)
+            pgot = pallas_packed_act_conv1d(xp, a1, be1, True, w1, b1,
+                                            pad=pad1, dilation=d, p=p,
+                                            interpret=True, s_t_cap=64,
+                                            pipeline=pipe)
+            np.testing.assert_allclose(np.asarray(pgot), np.asarray(pref),
+                                       atol=1e-5, rtol=1e-5)
+
     def test_full_generator_with_fusion(self, rng):
         import jax
         from flowhigh_tpu.config import VocoderConfig
