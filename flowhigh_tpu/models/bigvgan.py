@@ -239,6 +239,9 @@ class AMPBlock1(nn.Module):
     # every eligible pair but skips the unit kernel (the A/B knob for
     # benchmarking the unit fusion in isolation).
     fuse_act_conv: object = False
+    # subtile software pipeline inside the fused unit/pair kernels (>1:
+    # interleave VPU act / MXU conv emission, ops/packed.py) — A/B knob
+    kernel_pipeline: int = 1
 
     def _act_then_conv(self, x, act_name, w, b, pad, dil, residual=None,
                        extra_residuals=None, out_scale: float = 1.0):
@@ -265,7 +268,8 @@ class AMPBlock1(nn.Module):
                     x, alpha, beta, self.logscale, w.astype(self.dtype), b,
                     pad=pad, dilation=dil, p=self.packed_p,
                     residual=res or None, out_scale=out_scale,
-                    dot_dtype=self.conv_dtype or jnp.float32, s_t_cap=cap)
+                    dot_dtype=self.conv_dtype or jnp.float32, s_t_cap=cap,
+                    pipeline=self.kernel_pipeline)
         return self._conv(act(x), w, b, pad, dil, residual,
                           extra_residuals, out_scale)
 
@@ -315,7 +319,8 @@ class AMPBlock1(nn.Module):
             w2.astype(self.dtype), b2, pad1=(k * d - d) // 2, dil1=d,
             pad2=(k - 1) // 2, p=self.packed_p,
             extra_residuals=extras or None, out_scale=scale,
-            dot_dtype=self.conv_dtype or jnp.float32, s_t_cap=cap)
+            dot_dtype=self.conv_dtype or jnp.float32, s_t_cap=cap,
+            pipeline=self.kernel_pipeline)
 
     @nn.compact
     def __call__(self, x, extra_residuals=None, out_scale: float = 1.0):
@@ -389,6 +394,7 @@ class BigVGAN(nn.Module):
     conv_dtype: Optional[jnp.dtype] = None  # packed-conv MXU dtype (e.g. bf16)
     pallas_convs: bool = False  # resblock convs via the Pallas MXU kernel
     fuse_act_conv: object = False  # False | True | "auto": see AMPBlock1
+    kernel_pipeline: int = 1  # subtile VPU/MXU interleave (see AMPBlock1)
     # HBM dtype of the MRF feature maps (ALL stages, packed or not): halves
     # the act/conv pass traffic while the Pallas kernels accumulate in f32
     # internally. Stage-boundary upsamplers still run in ``dtype`` (inputs
@@ -471,7 +477,8 @@ class BigVGAN(nn.Module):
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
                 extra = ({"mxu_convs": self.mxu_convs,
                           "pallas_convs": self.pallas_convs,
-                          "fuse_act_conv": self.fuse_act_conv}
+                          "fuse_act_conv": self.fuse_act_conv,
+                          "kernel_pipeline": self.kernel_pipeline}
                          if block_cls is AMPBlock1 else {})
                 block = block_cls(
                     ch_out, rk, rd, cfg.activation, cfg.snake_logscale,

@@ -74,6 +74,7 @@ class MelVoco:
                  packed: bool = False, conv_dtype=None,
                  pallas_convs: bool = False, storage_dtype=None,
                  fuse_act_conv=False,  # False | True | "auto"
+                 kernel_pipeline: int = 1,
                  *,
                  # reference constructor surface (melvoco.py:17-31)
                  n_mels=None, sampling_rate=None, f_max=None, f_min=None,
@@ -110,7 +111,8 @@ class MelVoco:
                                packed=packed, conv_dtype=conv_dtype,
                                pallas_convs=pallas_convs,
                                storage_dtype=storage_dtype,
-                               fuse_act_conv=fuse_act_conv)
+                               fuse_act_conv=fuse_act_conv,
+                               kernel_pipeline=kernel_pipeline)
         self.vocoder_params = vocoder_params
 
     # reference attribute surface (melvoco.py:17-54)

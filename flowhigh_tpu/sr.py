@@ -108,6 +108,7 @@ class FlowHighSR:
         # tightened to +-ceil(3/p) rows: 105.2 vs 106.7 ms/vocode on a 10 s
         # clip ("auto" was the winner before that change).
         fuse_act_conv=True,
+        vocoder_kernel_pipeline: int = 1,  # subtile VPU/MXU interleave A/B
         vocoder_conv_dtype=None,
         vocoder_storage_dtype=None,  # e.g. jnp.bfloat16: halve packed-stage HBM traffic
         use_torchode: bool = False,
@@ -150,7 +151,8 @@ class FlowHighSR:
                                conv_dtype=vocoder_conv_dtype,
                                pallas_convs=packed_vocoder,
                                storage_dtype=vocoder_storage_dtype,
-                               fuse_act_conv=fuse_act_conv)
+                               fuse_act_conv=fuse_act_conv,
+                               kernel_pipeline=vocoder_kernel_pipeline)
         self.params = params
 
     # -- setup -----------------------------------------------------------------
