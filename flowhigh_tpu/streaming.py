@@ -101,6 +101,7 @@ class StreamingSR:
         import jax
 
         starts = list(range(0, n_chunks, self.batch_size))
+        ys: list = []
         errs: list = []
         # three-stage pipeline over the tunnel: an UPLOADER thread owns every
         # host->device transfer (each jnp.asarray issued from the dispatch
@@ -133,22 +134,7 @@ class StreamingSR:
                 q_up.put((arr_d, nb))
             q_up.put(None)
 
-        def stitch_one(c: int, y: np.ndarray):
-            """Overlap-add chunk c (equal-power crossfade) — runs on the
-            fetch thread so stitching overlaps compute + later downloads."""
-            y = y[: to_out(chunk_in)]
-            w = np.ones(len(y), np.float32)
-            if c > 0:
-                w[:overlap_out] = ramp
-            if c < n_chunks - 1:
-                w[len(y) - overlap_out :] = ramp[::-1]
-            o0 = to_out(c * hop_in)
-            o1 = min(o0 + len(y), total_out)
-            out[o0:o1] += (y * w)[: o1 - o0]
-            weight[o0:o1] += w[: o1 - o0]
-
         def fetcher():
-            c = 0
             while True:
                 item = q.get()
                 if item is None:
@@ -157,9 +143,7 @@ class StreamingSR:
                 try:
                     _warn_if_unconverged(stats)
                     out_np = np.asarray(out_d)
-                    for i in range(nb):
-                        stitch_one(c, out_np[i])
-                        c += 1
+                    ys.extend(out_np[i] for i in range(nb))
                 except Exception as e:  # surface after join; keep draining
                     errs.append(e)
 
@@ -183,6 +167,20 @@ class StreamingSR:
             th_up.join()
         if errs:
             raise errs[0]
+
+        for c in range(n_chunks):
+            start = c * hop_in
+            y = ys[c][: to_out(chunk_in)]
+
+            w = np.ones(len(y), np.float32)
+            if c > 0:
+                w[:overlap_out] = ramp
+            if c < n_chunks - 1:
+                w[len(y) - overlap_out :] = ramp[::-1]
+            o0 = to_out(start)
+            o1 = min(o0 + len(y), total_out)
+            out[o0:o1] += (y * w)[: o1 - o0]
+            weight[o0:o1] += w[: o1 - o0]
 
         out = out / np.maximum(weight, 1e-8)
         return out[None, :]
