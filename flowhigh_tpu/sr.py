@@ -83,6 +83,14 @@ def _fast_init(init_fn, rng: jax.Array):
     return jax.tree_util.tree_unflatten(treedef, vals)
 
 
+@jax.jit
+def _wire_int16(out: jax.Array) -> jax.Array:
+    """Waveform -> int16 on device (round(clip(x)*32767)): halves the
+    device->host wire bytes for networked serving; the reference writes
+    int16 wavs with the same scale (bigvgan/inference.py:66)."""
+    return jnp.clip(jnp.round(out * 32767.0), -32768.0, 32767.0).astype(jnp.int16)
+
+
 def _is_probably_audio(x) -> bool:
     """(reference: cfm_superresolution.py:91-92)."""
     return x is not None and (x.ndim == 2 or (x.ndim == 3 and x.shape[1] == 1))
@@ -544,7 +552,8 @@ class FlowHighSR:
 
     def dispatch_generate(self, batch: np.ndarray, lens: np.ndarray, sr: int,
                           target_sampling_rate: int = 48000,
-                          timestep: int = 1, seed: int = 0, key=None):
+                          timestep: int = 1, seed: int = 0, key=None,
+                          wire: Optional[str] = None):
         """Async-dispatch one pre-padded [B, T] batch through the jitted
         pipeline and return DEVICE arrays (out, n48, stats) immediately —
         JAX dispatch is asynchronous, so callers (StreamingSR) can keep
@@ -555,15 +564,27 @@ class FlowHighSR:
         (via ``jax.device_put`` on their own uploader thread) and a
         precomputed ``key`` — each host->device transfer issued inside the
         dispatch loop costs a blocking control round-trip on tunneled
-        deployments (measured ~30 ms/chunk on the 5-min streaming bench)."""
+        deployments (measured ~30 ms/chunk on the 5-min streaming bench).
+
+        ``wire='int16'`` converts the output waveform to int16 on device
+        (round(clip(x)*32767), the reference's wav convention —
+        bigvgan/inference.py:66, meldataset.py:22) so the device->host
+        download moves half the bytes; callers divide by 32767 to recover
+        float. Quantization is -96 dBFS, far below the model's output
+        noise floor."""
         std_1, std_2 = self._default_stds()
         if key is None:
             key = jax.random.PRNGKey(seed)
-        return self._generate_jit(
+        out, n48, stats = self._generate_jit(
             self.params, self.melvoco.vocoder_params,
             jnp.asarray(batch), jnp.asarray(lens), key,
             int(sr), int(target_sampling_rate), int(timestep),
             self.cfm_method, self.ode_method, float(std_1), float(std_2))
+        if wire == "int16":
+            out = _wire_int16(out)
+        elif wire is not None and wire != "float32":
+            raise ValueError(f"wire must be None|'float32'|'int16', got {wire!r}")
+        return out, n48, stats
 
     def generate_batch(
         self,

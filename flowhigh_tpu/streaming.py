@@ -29,7 +29,7 @@ from .sr import FlowHighSR
 class StreamingSR:
     def __init__(self, model: FlowHighSR, chunk_seconds: float = 10.0,
                  overlap_seconds: float = 1.0, batch_size: int = 1,
-                 pipeline_depth: int = 8):
+                 pipeline_depth: int = 8, wire: str = "float32"):
         """``batch_size=1`` and 10 s chunks are the measured optimum on one
         v5e chip: a single 10 s chunk already fills the chip (B=4 batching
         measured 39x vs 48x per-clip after the packed-vocoder work; 20 s
@@ -40,13 +40,22 @@ class StreamingSR:
         flight (device HBM backpressure): device->host downloads run on a
         dedicated fetch thread so they overlap both compute and the next
         dispatches instead of serializing the dispatch loop (round-3's
-        in-loop ``np.asarray`` stalled dispatch once per depth-4 window)."""
+        in-loop ``np.asarray`` stalled dispatch once per depth-4 window).
+
+        ``wire='int16'`` downloads chunk waveforms as device-quantized int16
+        (round(clip(x)*32767), the reference's wav scale) — half the
+        device->host bytes per chunk on networked/tunneled deployments; the
+        stitcher converts back to float before the crossfade, so the only
+        effect on the output is -96 dBFS quantization of each chunk."""
         assert overlap_seconds < chunk_seconds / 2
         self.model = model
         self.chunk_seconds = chunk_seconds
         self.overlap_seconds = overlap_seconds
         self.batch_size = batch_size  # chunks per device batch
         self.pipeline_depth = pipeline_depth
+        if wire not in ("float32", "int16"):
+            raise ValueError(f"wire must be 'float32' or 'int16', got {wire!r}")
+        self.wire = wire
 
     def generate(self, audio: np.ndarray, sr: int,
                  target_sampling_rate: int = 48000, timestep: int = 1,
@@ -117,6 +126,20 @@ class StreamingSR:
         lens_d = jax.device_put(
             np.full((self.batch_size,), chunk_in, np.int32))
 
+        stop = threading.Event()
+
+        def put_up(item) -> bool:
+            """Bounded put that aborts when the consumer stopped early —
+            a plain blocking put would deadlock th_up.join() if the main
+            loop exits before draining q_up."""
+            while not stop.is_set():
+                try:
+                    q_up.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def uploader():
             for b0 in starts:
                 batch = segs[b0 : b0 + self.batch_size]
@@ -129,10 +152,11 @@ class StreamingSR:
                     arr_d = jax.device_put(np.stack(batch))
                 except Exception as e:
                     errs.append(e)
-                    q_up.put(None)
+                    put_up(None)
                     return
-                q_up.put((arr_d, nb))
-            q_up.put(None)
+                if not put_up((arr_d, nb)):
+                    return
+            put_up(None)
 
         def fetcher():
             while True:
@@ -143,6 +167,8 @@ class StreamingSR:
                 try:
                     _warn_if_unconverged(stats)
                     out_np = np.asarray(out_d)
+                    if out_np.dtype == np.int16:
+                        out_np = out_np.astype(np.float32) / 32767.0
                     ys.extend(out_np[i] for i in range(nb))
                 except Exception as e:  # surface after join; keep draining
                     errs.append(e)
@@ -159,9 +185,10 @@ class StreamingSR:
                 arr_d, nb = item
                 out_d, _, stats = self.model.dispatch_generate(
                     arr_d, lens_d, sr, target_sampling_rate, timestep,
-                    key=keys[bi])
+                    key=keys[bi], wire=self.wire)
                 q.put((out_d, nb, stats))  # blocks only at full depth
         finally:
+            stop.set()  # unblock the uploader if we exited early
             q.put(None)
             th.join()
             th_up.join()

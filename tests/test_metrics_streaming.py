@@ -73,6 +73,21 @@ class TestStreaming:
         chunked = s.generate(audio, 16000, seed=0)
         np.testing.assert_array_equal(direct, chunked)
 
+    def test_int16_wire_matches_float(self, tiny_model, rng):
+        """wire='int16' (device-quantized downloads, half the bytes) must
+        match the float32 wire to int16 quantization (~3.1e-5 per chunk,
+        slightly relaxed for crossfade re-normalization)."""
+        from flowhigh_tpu.streaming import StreamingSR
+        kw = dict(chunk_seconds=1.0, overlap_seconds=0.25)
+        audio = (rng.standard_normal(16000 * 3) * 0.3).astype(np.float32)
+        ref = StreamingSR(tiny_model, **kw).generate(audio, 16000, seed=3)
+        got = StreamingSR(tiny_model, wire="int16", **kw).generate(
+            audio, 16000, seed=3)
+        assert got.shape == ref.shape and got.dtype == np.float32
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+        with pytest.raises(ValueError):
+            StreamingSR(tiny_model, wire="f8")
+
 
 class TestLongform:
     """Single-pass long-form mode (VERDICT r2 item 2): full-context CFM in
