@@ -88,12 +88,19 @@ def main():
         q = queue.Queue(maxsize=8)
         done = []
 
+        errs = []
+
         def fetcher():
+            # keep draining even on error: a dead fetcher would leave the
+            # dispatch loop blocked forever on the bounded q.put
             while True:
                 o = q.get()
                 if o is None:
                     return
-                done.append(np.asarray(o))  # full audio download
+                try:
+                    done.append(np.asarray(o))  # full audio download
+                except Exception as e:
+                    errs.append(e)
 
         th = threading.Thread(target=fetcher, daemon=True)
         _ = float(run(key).ravel()[0])  # drain the queue before timing
@@ -104,6 +111,8 @@ def main():
         q.put(None)
         th.join()
         wall = time.perf_counter() - t0
+        if errs:
+            raise errs[0]
         assert len(done) == n_clips and all(np.isfinite(o).all() for o in done)
         print(json.dumps({
             "metric": "serving_sustained_rtf_16k_to_48k_10s_euler1",
