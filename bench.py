@@ -120,7 +120,8 @@ def main():
             "unit": "x_realtime_per_chip",
         }))
     except Exception as e:  # never break the headline metric
-        print(json.dumps({"metric": "serving_sustained_rtf", "error": str(e)[:200]}))
+        print(json.dumps({"metric": "serving_sustained_rtf_16k_to_48k_10s_euler1",
+                          "error": str(e)[:200]}))
 
     print(json.dumps({
         "metric": "generate_rtf_16k_to_48k_10s_euler1",

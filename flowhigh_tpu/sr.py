@@ -571,7 +571,13 @@ class FlowHighSR:
         bigvgan/inference.py:66, meldataset.py:22) so the device->host
         download moves half the bytes; callers divide by 32767 to recover
         float. Quantization is -96 dBFS, far below the model's output
-        noise floor."""
+        noise floor — but the clip() also hard-limits samples to [-1, 1],
+        which the spliced iSTFT output can overshoot on hot material; use
+        the float32 wire when bit-faithful overshoots matter."""
+        if wire not in (None, "float32", "int16"):
+            # validate BEFORE dispatch: a bad value after the jit call would
+            # waste a full compile/execute on the discarded result
+            raise ValueError(f"wire must be None|'float32'|'int16', got {wire!r}")
         std_1, std_2 = self._default_stds()
         if key is None:
             key = jax.random.PRNGKey(seed)
@@ -582,8 +588,6 @@ class FlowHighSR:
             self.cfm_method, self.ode_method, float(std_1), float(std_2))
         if wire == "int16":
             out = _wire_int16(out)
-        elif wire is not None and wire != "float32":
-            raise ValueError(f"wire must be None|'float32'|'int16', got {wire!r}")
         return out, n48, stats
 
     def generate_batch(

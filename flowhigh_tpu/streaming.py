@@ -45,9 +45,17 @@ class StreamingSR:
         ``wire='int16'`` downloads chunk waveforms as device-quantized int16
         (round(clip(x)*32767), the reference's wav scale) — half the
         device->host bytes per chunk on networked/tunneled deployments; the
-        stitcher converts back to float before the crossfade, so the only
-        effect on the output is -96 dBFS quantization of each chunk."""
+        stitcher converts back to float before the crossfade. Besides the
+        -96 dBFS quantization this also hard-clips samples to [-1, 1]: the
+        spliced iSTFT output can overshoot |1| on hot material (unlike raw
+        tanh'd BigVGAN), so use the default float32 wire when bit-faithful
+        overshoots matter."""
         assert overlap_seconds < chunk_seconds / 2
+        if pipeline_depth < 1:
+            raise ValueError(
+                f"pipeline_depth must be >= 1, got {pipeline_depth} "
+                "(0 would make the dispatch queue unbounded, removing the "
+                "HBM backpressure it exists to provide)")
         self.model = model
         self.chunk_seconds = chunk_seconds
         self.overlap_seconds = overlap_seconds

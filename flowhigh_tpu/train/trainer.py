@@ -152,18 +152,27 @@ class Trainer:
             self._eval_fn = jax.jit(eval_step,
                                     in_shardings=(None, None, data_sh, data_sh, data_sh),
                                     out_shardings=rep)
-        losses = []
+        losses: list = []   # host values
+        pending: list = []  # device scalars awaiting one batched fetch
         rng = jax.random.PRNGKey(0)  # fixed: comparable across evals
         for i, batch in enumerate(batches):
             b = shard_batch(self.mesh,
                             {k: batch[k] for k in ("wave", "cond", "lengths")})
             # keep the per-batch losses on device — JAX dispatch is async, so
-            # the loop queues every batch without waiting; one host fetch at
-            # the end costs a single tunnel RTT instead of one per batch
-            losses.append(self._eval_fn(
+            # the loop queues batches without waiting; a windowed fetch
+            # amortizes the tunnel RTT over up to 16 batches while bounding
+            # dispatched-but-unfetched batches (each queued batch pins its
+            # uploaded inputs in HBM until fetched — an unbounded queue OOMs
+            # on long validation sets)
+            pending.append(self._eval_fn(
                 state.params, jax.random.fold_in(rng, i),
                 b["wave"], b["cond"], b["lengths"]))
-        vals = np.asarray(jax.device_get(losses), np.float64)
+            if len(pending) >= 16:
+                losses.extend(np.asarray(jax.device_get(pending), np.float64))
+                pending.clear()
+        if pending:
+            losses.extend(np.asarray(jax.device_get(pending), np.float64))
+        vals = np.asarray(losses, np.float64)
         return {"valid_loss": float(vals.mean()), "n_batches": len(losses)}
 
     # -- loop -------------------------------------------------------------------

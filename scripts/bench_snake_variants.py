@@ -14,43 +14,15 @@ PK._snake_packed (differential-chain timing, RTT cancels):
   poly5     — 5-term cos polynomial (err ~1e-4) — accuracy floor probe
 """
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 import jax
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+from _timing import C_HI, C_LO, timeit_diff  # differential-chain per-op timing
+
 rng = np.random.default_rng(0)
-C_HI, C_LO = 32, 8
-
-
-def timeit_diff(fn, *args, reps=5):
-    def make(chain):
-        @jax.jit
-        def chained(x, *rest):
-            acc = 0.0
-            cur = x
-            for i in range(chain):
-                y = fn(cur, *rest)
-                acc = acc + y.ravel()[0]
-                cur = x + 1e-12 * acc
-            return acc
-        return chained
-    hi, lo = make(C_HI), make(C_LO)
-    _ = float(hi(*args))
-    _ = float(lo(*args))
-    th, tl = [], []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _ = float(hi(*args))
-        th.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        _ = float(lo(*args))
-        tl.append(time.perf_counter() - t0)
-    return (np.median(th) - np.median(tl)) * 1000 / (C_HI - C_LO)
 
 
 import flowhigh_tpu.ops.packed as PK

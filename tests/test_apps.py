@@ -55,6 +55,54 @@ class TestGradioApp:
         assert "gradio is not installed" in (r.stderr + r.stdout)
 
 
+class TestFromPretrained:
+    def test_hub_glue_with_mocked_hub(self, monkeypatch, tmp_path):
+        """from_pretrained's hub glue (reference: flowhighsr.py:139-149) is
+        unverifiable end-to-end offline (no egress), so pin the contract with
+        a fake huggingface_hub: the published repo id, all four artifact
+        filenames, and the from_local handoff on the download directory.
+        The from_local/compat path itself is covered at full scale by
+        tests/test_fullscale_parity.py and tests/test_lsd_battery.py."""
+        import types
+
+        from flowhigh_tpu import FlowHighSR
+
+        requested = []
+
+        def fake_download(repo_id, filename):
+            assert repo_id == "ResembleAI/FlowHigh"
+            requested.append(filename)
+            p = tmp_path / filename
+            p.write_bytes(b"")
+            return str(p)
+
+        fake = types.ModuleType("huggingface_hub")
+        fake.hf_hub_download = fake_download
+        monkeypatch.setitem(sys.modules, "huggingface_hub", fake)
+
+        loaded = {}
+        monkeypatch.setattr(
+            FlowHighSR, "from_local",
+            classmethod(lambda cls, d, *a, **k: loaded.setdefault("dir", Path(d))))
+
+        FlowHighSR.from_pretrained()
+        assert set(requested) == {
+            "FLowHigh_basic_400k.json", "bigvgan_48khz_256band.json",
+            "FLowHigh_basic_400k.pt", "bigvgan_48khz_256band.pt",
+        }
+        assert loaded["dir"] == tmp_path
+
+    def test_helpful_error_without_hub(self, monkeypatch):
+        """Offline images get an actionable message, not an ImportError.
+        (None in sys.modules makes `import huggingface_hub` raise
+        ImportError, per the import-system contract.)"""
+        from flowhigh_tpu import FlowHighSR
+
+        monkeypatch.setitem(sys.modules, "huggingface_hub", None)
+        with pytest.raises(RuntimeError, match="from_local"):
+            FlowHighSR.from_pretrained()
+
+
 class TestExample:
     def test_example_parses_and_uses_current_api(self):
         """example.py is a top-level script like the reference's (it calls

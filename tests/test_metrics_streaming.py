@@ -88,6 +88,28 @@ class TestStreaming:
         with pytest.raises(ValueError):
             StreamingSR(tiny_model, wire="f8")
 
+    def test_int16_wire_hard_clips_overshoot(self):
+        """The int16 wire hard-limits to [-1, 1] (documented): the spliced
+        iSTFT output can overshoot |1| on hot material, where the wire adds
+        clipping distortion beyond its -96 dBFS quantization."""
+        import jax.numpy as jnp
+
+        from flowhigh_tpu.sr import _wire_int16
+        x = jnp.asarray([[0.5, -1.03, 1.03, 0.999]], jnp.float32)
+        w = np.asarray(_wire_int16(x))
+        assert w.dtype == np.int16
+        rt = w.astype(np.float32) / 32767.0
+        np.testing.assert_allclose(rt[0, 0], 0.5, atol=3.1e-5)
+        np.testing.assert_allclose(rt[0, 3], 0.999, atol=3.1e-5)
+        assert rt[0, 2] <= 1.0 and rt[0, 1] >= -32768.0 / 32767.0  # clipped
+
+    def test_pipeline_depth_validated(self, tiny_model):
+        """pipeline_depth<1 must fail loudly: Queue(maxsize=0) is unbounded,
+        silently inverting the HBM-backpressure meaning of 'depth 0'."""
+        from flowhigh_tpu.streaming import StreamingSR
+        with pytest.raises(ValueError, match="pipeline_depth"):
+            StreamingSR(tiny_model, pipeline_depth=0)
+
 
 class TestLongform:
     """Single-pass long-form mode (VERDICT r2 item 2): full-context CFM in
