@@ -20,13 +20,14 @@ from .config import (
 )
 from .sr import FlowHighSR
 from .cfm_wrapper import ConditionalFlowMatcherWrapper, FLowHigh, init_bigvgan
+from .serving import ServingPipeline
 from .streaming import StreamingSR
 
 __version__ = "0.3.0"
 
 __all__ = [
     "FlowHighSR", "ConditionalFlowMatcherWrapper", "FLowHigh", "init_bigvgan",
-    "StreamingSR",
+    "StreamingSR", "ServingPipeline",
     "FlowHighConfig", "MelConfig", "VocoderConfig", "ModelConfig",
     "CFMConfig", "DataConfig", "TrainConfig",
 ]

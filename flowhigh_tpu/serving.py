@@ -1,0 +1,206 @@
+"""Sustained concurrent-clip serving: submit() -> Future pipeline.
+
+New capability vs the reference, whose serving surface is one blocking
+clip at a time (reference: example.py:1-13, app.py:8-19 — each request
+runs ``generate`` synchronously end to end). On a TPU reached over a
+network/tunnel, a single-clip loop serializes three things that can
+overlap: the host->device upload, the device compute, and the
+device->host download. The measured-optimal structure (PERF.md round-4:
+sustained 107.8x vs 85.98x single-clip on identical programs) keeps
+several async-dispatched clips in flight, with every blocking transfer
+owned by a dedicated thread:
+
+    submit() -> [feeder thread: pad -> device_put -> async dispatch]
+             -> [fetch thread: download -> trim -> Future.set_result]
+
+``ServingPipeline`` packages that structure behind a small API::
+
+    with ServingPipeline(model) as srv:
+        futs = [srv.submit(a, 16000) for a in clips]
+        outs = [f.result() for f in futs]
+
+Each request is padded to the same 1 s output buckets as
+``FlowHighSR.generate`` and dispatched alone (B=1): one 10 s clip
+already fills a v5e chip, so batching is measured SLOWER per clip and
+throughput comes from pipelined dispatch (PERF.md). A request with a new
+(input_rate, bucket) shape compiles a program on first use — call
+``warmup`` for each expected shape before accepting traffic.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .sr import BUCKET_SAMPLES, FlowHighSR, _warn_if_unconverged, _wire_int16
+
+
+class ServingPipeline:
+    def __init__(self, model: FlowHighSR, max_in_flight: int = 8,
+                 wire: str = "float32", target_sampling_rate: int = 48000,
+                 timestep: int = 1, seed: int = 0):
+        """``max_in_flight`` bounds dispatched-but-unfetched clips (device
+        HBM backpressure, like StreamingSR.pipeline_depth).
+
+        ``wire='int16'`` downloads waveforms device-quantized to int16
+        (round(clip(x)*32767), the reference's wav scale —
+        bigvgan/inference.py:66, meldataset.py:22): half the
+        device->host bytes; results are converted back to float32. The
+        clip() hard-limits to [-1, 1], which spliced iSTFT output can
+        overshoot on hot material — keep the float32 default when
+        bit-faithful overshoots matter.
+
+        ``seed`` salts the per-request default keys: request i uses
+        fold_in(PRNGKey(seed), i) unless ``submit(..., seed=...)`` pins
+        an explicit one.
+        """
+        if max_in_flight < 1:
+            raise ValueError(f"max_in_flight must be >= 1, got {max_in_flight}")
+        if wire not in ("float32", "int16"):
+            raise ValueError(f"wire must be 'float32' or 'int16', got {wire!r}")
+        self.model = model
+        self.wire = wire
+        self.target_sampling_rate = int(target_sampling_rate)
+        self.timestep = int(timestep)
+        self._base_key = jax.random.PRNGKey(seed)
+        self._n_submitted = 0
+        self._closed = False
+        self._lock = threading.Lock()
+        # feeder queue is unbounded: submit() never blocks; backpressure
+        # lives on the dispatch->fetch queue, which caps device work in
+        # flight (the feeder stalls on q_fetch.put once it's full).
+        self._q_submit: "queue.Queue" = queue.Queue()
+        self._q_fetch: "queue.Queue" = queue.Queue(maxsize=max_in_flight)
+        self._th_feed = threading.Thread(target=self._feeder, daemon=True)
+        self._th_fetch = threading.Thread(target=self._fetcher, daemon=True)
+        self._th_feed.start()
+        self._th_fetch.start()
+
+    # -- request side -----------------------------------------------------
+
+    def submit(self, audio: np.ndarray, sr: int,
+               seed: Optional[int] = None) -> Future:
+        """[T] or [1, T] waveform at ``sr`` -> Future of [1, T'] float32 at
+        ``target_sampling_rate``. Same audio conventions as
+        ``FlowHighSR.generate`` (reference flowhighsr.py:51-63): 2-D input
+        takes row 0, int16-scale input is divided by 32768.
+
+        With an explicit ``seed``, the result is identical to
+        ``model.generate(audio, sr, seed=seed)`` (same program, same key).
+        """
+        audio = np.asarray(audio)
+        if audio.ndim == 2:
+            audio = audio[0]
+        if audio.ndim != 1:
+            raise ValueError(f"audio must be [T] or [1, T], got {audio.shape}")
+        if len(audio) == 0:
+            raise ValueError("audio is empty")
+        fut: Future = Future()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("ServingPipeline is closed")
+            req_id = self._n_submitted
+            self._n_submitted += 1
+            self._q_submit.put((fut, audio, int(sr), seed, req_id))
+        return fut
+
+    def generate_many(self, audios: Sequence[np.ndarray], srs,
+                      seeds=None) -> list:
+        """Convenience: submit all, gather in order. ``srs`` may be one int
+        or a per-clip sequence; ``seeds`` likewise (None = salted default)."""
+        if isinstance(srs, int):
+            srs = [srs] * len(audios)
+        if seeds is None or isinstance(seeds, int):
+            seeds = [seeds] * len(audios)
+        futs = [self.submit(a, r, s) for a, r, s in zip(audios, srs, seeds)]
+        return [f.result() for f in futs]
+
+    def warmup(self, sr: int, seconds: float) -> None:
+        """Compile (or load from the persistent cache) the program for one
+        (rate, bucket) shape before serving traffic: the cold compile of the
+        full fused pipeline takes minutes on a tunneled TPU."""
+        n = int(sr * seconds)
+        self.submit(np.zeros(max(n, 1), np.float32), sr, seed=0).result()
+
+    # -- worker threads ----------------------------------------------------
+
+    def _feeder(self):
+        m = self.model
+        while True:
+            item = self._q_submit.get()
+            if item is None:
+                self._q_fetch.put(None)
+                return
+            fut, audio, sr, seed, req_id = item
+            try:
+                if np.abs(audio).max() > 1:
+                    audio = audio / 32768.0
+                n = len(audio)
+                in_bucket = BUCKET_SAMPLES * sr // self.target_sampling_rate
+                if in_bucket <= 0:
+                    raise ValueError(
+                        f"input rate {sr} too low for target "
+                        f"{self.target_sampling_rate}")
+                n_pad = max(in_bucket, math.ceil(n / in_bucket) * in_bucket)
+                padded = np.zeros(n_pad, np.float32)
+                padded[:n] = audio
+                # one host->device put for waveform + length (each separate
+                # put from this loop costs a blocking control round-trip on
+                # tunneled deployments — measured ~30 ms, PERF.md round-4)
+                arr_d, n_d = jax.device_put(
+                    (padded[None, :], np.asarray(n)))
+                key = (jax.random.PRNGKey(seed) if seed is not None
+                       else jax.random.fold_in(self._base_key, req_id))
+                std_1, std_2 = m._default_stds()
+                out, n48, stats = m._generate_jit(
+                    m.params, m.melvoco.vocoder_params, arr_d, n_d, key,
+                    sr, self.target_sampling_rate, self.timestep,
+                    m.cfm_method, m.ode_method, float(std_1), float(std_2))
+                if self.wire == "int16":
+                    out = _wire_int16(out)
+            except Exception as e:
+                fut.set_exception(e)
+                continue
+            self._q_fetch.put((fut, out, n48, stats))
+
+    def _fetcher(self):
+        while True:
+            item = self._q_fetch.get()
+            if item is None:
+                return
+            fut, out, n48, stats = item
+            try:
+                _warn_if_unconverged(stats)
+                out_np = np.asarray(out)
+                if out_np.dtype == np.int16:
+                    out_np = out_np.astype(np.float32) / 32767.0
+                fut.set_result(out_np[:, : int(np.asarray(n48)[0])])
+            except Exception as e:  # keep draining; this request only
+                fut.set_exception(e)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def close(self):
+        """Drain every submitted request, then stop the worker threads.
+        Idempotent; ``submit`` after close raises."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+        self._q_submit.put(None)
+        self._th_feed.join()
+        self._th_fetch.join()
+
+    def __enter__(self) -> "ServingPipeline":
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
