@@ -9,6 +9,7 @@ BigVGAN dir-of-wavs vocoder inference
 
 Usage:
     python -m flowhigh_tpu.cli infer   --input in.wav --output out.wav ...
+    python -m flowhigh_tpu.cli infer   --input_dir wavs/ --output_dir out/ ...
     python -m flowhigh_tpu.cli train   --config configs/config.json
     python -m flowhigh_tpu.cli vocoder --input_dir wavs/ --output_dir out/ ...
 """
@@ -35,6 +36,14 @@ def cmd_infer(args) -> int:
     from .streaming import StreamingSR
     from .train.data import load_wav_mono
 
+    if bool(args.input_dir) == bool(args.input):
+        print("[infer] give either --input/--output or --input_dir/--output_dir",
+              file=sys.stderr)
+        return 2
+    if args.input_dir and not args.output_dir:
+        print("[infer] --input_dir requires --output_dir", file=sys.stderr)
+        return 2
+
     if args.ckpt_dir:
         model = FlowHighSR.from_local(
             args.ckpt_dir, model_file=args.model_file, cfm_method=args.cfm_method)
@@ -56,6 +65,30 @@ def cmd_infer(args) -> int:
         model.init_params(jax.random.PRNGKey(0), fast=not args.tiny)
     model.ode_method = args.ode_method
     model.sigma = args.sigma
+
+    if args.input_dir:
+        # dir-of-wavs batch serving through the pipelined API: uploads,
+        # dispatch, and downloads of different clips overlap (the
+        # reference's analog is the sequential bigvgan/inference.py:54-70
+        # loop, one blocking clip at a time)
+        from .serving import ServingPipeline
+
+        out_dir = Path(args.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        wavs = sorted(Path(args.input_dir).glob("*.wav"))
+        if not wavs:
+            print(f"[infer] no .wav files in {args.input_dir}", file=sys.stderr)
+            return 2
+        with ServingPipeline(model, wire=args.wire,
+                             timestep=args.time_step) as srv:
+            futs = [(w, srv.submit(*load_wav_mono(w))) for w in wavs]
+            for w, f in futs:
+                out = f.result()
+                dest = out_dir / f"{w.stem}_48k.wav"
+                _write_wav(dest, 48000, out[0])
+                print(f"[infer] {w.name} -> {dest.name} "
+                      f"({out.shape[-1] / 48000:.2f} s)")
+        return 0
 
     audio, sr = load_wav_mono(args.input)
     if args.longform == "single_pass":
@@ -192,8 +225,14 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("infer", help="file-to-file super-resolution")
-    pi.add_argument("--input", required=True)
-    pi.add_argument("--output", required=True)
+    pi.add_argument("--input", default=None)
+    pi.add_argument("--output", default=None)
+    pi.add_argument("--input_dir", default=None,
+                    help="serve every .wav in a directory through the "
+                         "pipelined ServingPipeline (overlapped transfers)")
+    pi.add_argument("--output_dir", default=None)
+    pi.add_argument("--wire", default="float32", choices=["float32", "int16"],
+                    help="device->host download format for --input_dir mode")
     pi.add_argument("--ckpt_dir", default=None)
     pi.add_argument("--model_file", default="FLowHigh_basic_400k.pt")
     pi.add_argument("--time_step", type=int, default=1)

@@ -199,6 +199,39 @@ class TestCLI:
         sr_out, data = wavfile.read(outp)
         assert sr_out == 48000 and len(data) == n * 3
 
+    def test_infer_dir_mode_serves_all(self, tmp_path, rng):
+        # --input_dir routes every wav through ServingPipeline
+        import flowhigh_tpu.cli as cli
+
+        in_dir = tmp_path / "wavs"
+        out_dir = tmp_path / "out"
+        in_dir.mkdir()
+        lens = [8000, 16000, 12000]
+        for i, n in enumerate(lens):
+            wav = (rng.standard_normal(n) * 0.2 * 32767).astype(np.int16)
+            wavfile.write(in_dir / f"clip{i}.wav", 16000, wav)
+        rc = cli.main(["infer", "--input_dir", str(in_dir),
+                       "--output_dir", str(out_dir),
+                       "--time_step", "1", "--ode_method", "euler",
+                       "--cfm_method", "independent_cfm_adaptive", "--tiny",
+                       "--wire", "int16"])
+        assert rc == 0
+        for i, n in enumerate(lens):
+            sr_out, data = wavfile.read(out_dir / f"clip{i}_48k.wav")
+            assert sr_out == 48000 and len(data) == n * 3
+
+    def test_infer_arg_validation(self, tmp_path):
+        import flowhigh_tpu.cli as cli
+        # neither or both input styles -> usage error, not a traceback
+        assert cli.main(["infer", "--tiny"]) == 2
+        assert cli.main(["infer", "--input", "a.wav", "--output", "b.wav",
+                         "--input_dir", str(tmp_path), "--tiny"]) == 2
+        assert cli.main(["infer", "--input_dir", str(tmp_path), "--tiny"]) == 2
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        assert cli.main(["infer", "--input_dir", str(empty),
+                         "--output_dir", str(tmp_path / "o"), "--tiny"]) == 2
+
     def test_parser_surface(self):
         # the README-documented flag surface exists (reference README.md:69-78)
         import flowhigh_tpu.cli as cli
