@@ -95,6 +95,11 @@ class ServingPipeline:
 
         With an explicit ``seed``, the result is identical to
         ``model.generate(audio, sr, seed=seed)`` (same program, same key).
+
+        int16-dtype input rides the int16 INPUT wire: the raw samples are
+        uploaded as-is (half the bytes) and cast+scaled on device — still
+        bit-identical to the float path, since int16 is exact in float32
+        and /32768 is a power of two.
         """
         audio = np.asarray(audio)
         if audio.ndim == 2:
@@ -123,12 +128,13 @@ class ServingPipeline:
         futs = [self.submit(a, r, s) for a, r, s in zip(audios, srs, seeds)]
         return [f.result() for f in futs]
 
-    def warmup(self, sr: int, seconds: float) -> None:
+    def warmup(self, sr: int, seconds: float, dtype=np.float32) -> None:
         """Compile (or load from the persistent cache) the program for one
-        (rate, bucket) shape before serving traffic: the cold compile of the
-        full fused pipeline takes minutes on a tunneled TPU."""
+        (rate, bucket, input dtype) shape before serving traffic: the cold
+        compile of the full fused pipeline takes minutes on a tunneled TPU.
+        Pass ``dtype=np.int16`` to warm the int16 input-wire program."""
         n = int(sr * seconds)
-        self.submit(np.zeros(max(n, 1), np.float32), sr, seed=0).result()
+        self.submit(np.zeros(max(n, 1), dtype), sr, seed=0).result()
 
     # -- worker threads ----------------------------------------------------
 
@@ -141,7 +147,8 @@ class ServingPipeline:
                 return
             fut, audio, sr, seed, req_id = item
             try:
-                if np.abs(audio).max() > 1:
+                int16_in = audio.dtype == np.int16
+                if not int16_in and np.abs(audio).max() > 1:
                     audio = audio / 32768.0
                 n = len(audio)
                 in_bucket = BUCKET_SAMPLES * sr // self.target_sampling_rate
@@ -150,7 +157,8 @@ class ServingPipeline:
                         f"input rate {sr} too low for target "
                         f"{self.target_sampling_rate}")
                 n_pad = max(in_bucket, math.ceil(n / in_bucket) * in_bucket)
-                padded = np.zeros(n_pad, np.float32)
+                padded = np.zeros(n_pad,
+                                  np.int16 if int16_in else np.float32)
                 padded[:n] = audio
                 # one host->device put for waveform + length (each separate
                 # put from this loop costs a blocking control round-trip on
@@ -160,7 +168,8 @@ class ServingPipeline:
                 key = (jax.random.PRNGKey(seed) if seed is not None
                        else jax.random.fold_in(self._base_key, req_id))
                 std_1, std_2 = m._default_stds()
-                out, n48, stats = m._generate_jit(
+                gen = m._generate_jit_i16 if int16_in else m._generate_jit
+                out, n48, stats = gen(
                     m.params, m.melvoco.vocoder_params, arr_d, n_d, key,
                     sr, self.target_sampling_rate, self.timestep,
                     m.cfm_method, m.ode_method, float(std_1), float(std_2))

@@ -299,6 +299,24 @@ class FlowHighSR:
             params, vocoder_params, audio, n_valid, rng, in_sr, target_sr,
             time_steps, cfm_method, ode_method, std_1, std_2)
 
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "in_sr", "target_sr", "time_steps", "cfm_method", "ode_method",
+        "std_1", "std_2"))
+    def _generate_jit_i16(
+        self, params, vocoder_params, audio_i16, n_valid, rng,
+        in_sr: int, target_sr: int, time_steps: int, cfm_method: str,
+        ode_method: str, std_1: float, std_2: float,
+    ):
+        """int16 INPUT wire: the clip pipeline taking the raw int16 waveform
+        and casting+scaling on device, so networked callers upload half the
+        bytes. Bit-identical to the float path on int16-origin audio: int16
+        values are exact in float32 and /32768 is a power of two (the same
+        scale the reference applies to int16 input, flowhighsr.py:62-63)."""
+        audio = audio_i16.astype(jnp.float32) / 32768.0
+        return self._generate_impl(
+            params, vocoder_params, audio, n_valid, rng, in_sr, target_sr,
+            time_steps, cfm_method, ode_method, std_1, std_2)
+
     def _prep_and_solve(
         self, params, audio, n_valid, rng,
         in_sr: int, target_sr: int, time_steps: int, cfm_method: str,

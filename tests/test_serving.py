@@ -77,6 +77,17 @@ class TestServingPipeline:
         np.testing.assert_array_equal(
             served, tiny_model.generate(audio, 16000, seed=1))
 
+    def test_int16_input_wire_bit_matches_float_path(self, tiny_model, rng):
+        # int16-dtype input uploads raw samples and casts+scales on device;
+        # int16 is exact in float32 and /32768 is a power of two, so the
+        # result must be BIT-identical to generate() on the same array
+        audio = (rng.standard_normal(16000) * 8000).astype(np.int16)
+        with ServingPipeline(tiny_model) as srv:
+            srv.warmup(16000, 1.0, dtype=np.int16)
+            served = srv.submit(audio, 16000, seed=4).result(timeout=120)
+        np.testing.assert_array_equal(
+            served, tiny_model.generate(audio, 16000, seed=4))
+
     def test_request_error_does_not_kill_pipeline(self, tiny_model, rng):
         good = (rng.standard_normal(16000) * 0.3).astype(np.float32)
         with ServingPipeline(tiny_model) as srv:
