@@ -84,39 +84,59 @@ def main():
     try:
         import queue
         import threading
+
+        from flowhigh_tpu.sr import _wire_int16
+
         n_clips = 12
-        q = queue.Queue(maxsize=8)
-        done = []
 
-        errs = []
+        def run_sustained(wire):
+            q = queue.Queue(maxsize=8)
+            done, errs = [], []
 
-        def fetcher():
-            # keep draining even on error: a dead fetcher would leave the
-            # dispatch loop blocked forever on the bounded q.put
-            while True:
-                o = q.get()
-                if o is None:
-                    return
-                try:
-                    done.append(np.asarray(o))  # full audio download
-                except Exception as e:
-                    errs.append(e)
+            def fetcher():
+                # keep draining even on error: a dead fetcher would leave
+                # the dispatch loop blocked forever on the bounded q.put
+                while True:
+                    o = q.get()
+                    if o is None:
+                        return
+                    try:
+                        done.append(np.asarray(o))  # full audio download
+                    except Exception as e:
+                        errs.append(e)
 
-        th = threading.Thread(target=fetcher, daemon=True)
-        _ = float(run(key).ravel()[0])  # drain the queue before timing
-        th.start()
-        t0 = time.perf_counter()
-        for i in range(n_clips):
-            q.put(run(jax.random.fold_in(key, 100 + i)))
-        q.put(None)
-        th.join()
-        wall = time.perf_counter() - t0
-        if errs:
-            raise errs[0]
-        assert len(done) == n_clips and all(np.isfinite(o).all() for o in done)
+            def run_w(k):
+                out = run(k)
+                return _wire_int16(out) if wire == "int16" else out
+
+            th = threading.Thread(target=fetcher, daemon=True)
+            _ = float(run_w(key).ravel()[0])  # warm + drain before timing
+            th.start()
+            t0 = time.perf_counter()
+            for i in range(n_clips):
+                q.put(run_w(jax.random.fold_in(key, 100 + i)))
+            q.put(None)
+            th.join()
+            wall = time.perf_counter() - t0
+            if errs:
+                raise errs[0]
+            assert len(done) == n_clips
+            assert all(np.isfinite(o).all() for o in done)
+            return n_clips * seconds / wall
+
         print(json.dumps({
             "metric": "serving_sustained_rtf_16k_to_48k_10s_euler1",
-            "value": round(n_clips * seconds / wall, 2),
+            "value": round(run_sustained("float32"), 2),
+            "unit": "x_realtime_per_chip",
+        }))
+        # int16 download wire (the reference's own output scale — its CLI
+        # writes 16-bit wavs): half the device->host bytes. Measured +31%
+        # on TRUE serving incl. uploads (scripts/bench_serving_pipeline.py,
+        # PERF.md round-4); labeled separately to keep the float32 line
+        # comparable across rounds.
+        print(json.dumps({
+            "metric": "serving_sustained_int16_wire_rtf_10s_euler1",
+            "value": round(run_sustained("int16"), 2),
             "unit": "x_realtime_per_chip",
         }))
     except Exception as e:  # never break the headline metric
