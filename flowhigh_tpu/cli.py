@@ -81,7 +81,11 @@ def cmd_infer(args) -> int:
             return 2
         with ServingPipeline(model, wire=args.wire,
                              timestep=args.time_step) as srv:
-            futs = [(w, srv.submit(*load_wav_mono(w))) for w in wavs]
+            # keep_int16: mono 16-bit files upload raw int16 (half the
+            # bytes) and cast+scale on device — bit-identical (sr.py
+            # _generate_jit_i16)
+            futs = [(w, srv.submit(*load_wav_mono(w, keep_int16=True)))
+                    for w in wavs]
             for w, f in futs:
                 out = f.result()
                 dest = out_dir / f"{w.stem}_48k.wav"

@@ -394,23 +394,31 @@ class FlowHighSR:
         seed: int = 0,
     ) -> np.ndarray:
         """[T] or [1, T] numpy waveform at ``sr`` -> [1, T'] at 48 kHz
-        (reference: flowhighsr.py:51-102)."""
+        (reference: flowhighsr.py:51-102).
+
+        int16-dtype input rides the int16 INPUT wire: the raw samples are
+        uploaded as-is (half the host->device bytes on tunneled
+        deployments) and cast+scaled on device — bit-identical to passing
+        float, since int16 is exact in float32 and /32768 is a power of
+        two (the reference's own int16 scale, flowhighsr.py:62-63)."""
         audio = np.asarray(audio)
         if audio.ndim == 2:
             audio = audio[0]
-        if np.abs(audio).max() > 1:
+        int16_in = audio.dtype == np.int16
+        if not int16_in and np.abs(audio).max() > 1:
             audio = audio / 32768.0
 
         n = len(audio)
         # bucket the input so the 48 kHz length lands on 1 s multiples
         in_bucket = BUCKET_SAMPLES * sr // target_sampling_rate
         n_pad = max(in_bucket, math.ceil(n / in_bucket) * in_bucket)
-        padded = np.zeros(n_pad, dtype=np.float32)
+        padded = np.zeros(n_pad, dtype=np.int16 if int16_in else np.float32)
         padded[:n] = audio
 
         std_1, std_2 = self._default_stds()  # see _default_stds for the quirk
 
-        out, n48, stats = self._generate_jit(
+        gen = self._generate_jit_i16 if int16_in else self._generate_jit
+        out, n48, stats = gen(
             self.params, self.melvoco.vocoder_params,
             jnp.asarray(padded)[None, :], jnp.asarray(n), jax.random.PRNGKey(seed),
             int(sr), int(target_sampling_rate), int(timestep),

@@ -27,9 +27,18 @@ from ..dsp.filters import host_degrade
 RIPPLES = (1e-9, 1e-6, 1e-3, 1, 5)  # (reference: data.py:109)
 
 
-def load_wav_mono(path) -> tuple[np.ndarray, int]:
+def load_wav_mono(path, keep_int16: bool = False) -> tuple[np.ndarray, int]:
+    """Read a wav as mono float32 in [-1, 1] (reference: meldataset.py:25-30,
+    which divides int16 by MAX_WAV_VALUE). With ``keep_int16=True``, a mono
+    16-bit file is returned as raw int16 instead: ``ServingPipeline.submit``
+    and ``FlowHighSR.generate`` upload such input as-is (half the
+    host->device bytes on tunneled deployments) and cast+scale on device —
+    bit-identical, since int16 is exact in float32 and /32768 is a power of
+    two. Stereo int16 still converts (the channel mean is not int16)."""
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
+        if keep_int16 and data.ndim == 1:
+            return data, sr
         wave = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
         wave = data.astype(np.float32) / 2147483648.0

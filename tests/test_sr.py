@@ -87,6 +87,17 @@ class TestFlowHighSR:
         out = tiny_sr.generate(audio, sr=8000, timestep=1)
         assert out.shape == (1, 48000)
 
+    def test_generate_int16_dtype_bit_matches_float(self, tiny_sr, rng):
+        # int16-dtype input rides the int16 INPUT wire (_generate_jit_i16:
+        # raw samples uploaded, cast+scaled on device). int16 is exact in
+        # float32 and /32768 is a power of two, so it must be BIT-identical
+        # to the host-scaled float path on the same samples.
+        raw = (rng.standard_normal(8000) * 8000).astype(np.int16)
+        out_i16 = tiny_sr.generate(raw, sr=8000, timestep=1, seed=3)
+        out_f32 = tiny_sr.generate(raw.astype(np.float32) / 32768.0,
+                                   sr=8000, timestep=1, seed=3)
+        np.testing.assert_array_equal(out_i16, out_f32)
+
     def test_generate_non_bucket_length(self, tiny_sr, rng):
         audio = (rng.standard_normal(20123) * 0.3).astype(np.float32)
         out = tiny_sr.generate(audio, sr=16000, timestep=1)

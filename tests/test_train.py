@@ -63,6 +63,29 @@ class TestData:
         assert b1["wave"].shape == (2, 24000) == b2["wave"].shape
         assert b1["lengths"].max() <= 24000
 
+    def test_load_wav_mono_keep_int16(self, tmp_path):
+        import scipy.io.wavfile as wavfile
+
+        from flowhigh_tpu.train.data import load_wav_mono
+
+        raw = (np.linspace(-0.5, 0.5, 100) * 32767).astype(np.int16)
+        mono = tmp_path / "mono.wav"
+        stereo = tmp_path / "stereo.wav"
+        wavfile.write(mono, 16000, raw)
+        wavfile.write(stereo, 16000, np.stack([raw, -raw], axis=1))
+
+        # default: always float32 in [-1, 1]
+        w, sr = load_wav_mono(mono)
+        assert w.dtype == np.float32 and sr == 16000
+        np.testing.assert_allclose(w, raw.astype(np.float32) / 32768.0)
+        # keep_int16: mono 16-bit passes through raw (for the int16 INPUT
+        # wire); stereo still converts (the channel mean is not int16)
+        w16, _ = load_wav_mono(mono, keep_int16=True)
+        assert w16.dtype == np.int16
+        np.testing.assert_array_equal(w16, raw)
+        ws, _ = load_wav_mono(stereo, keep_int16=True)
+        assert ws.dtype == np.float32 and ws.shape == (100,)
+
 
 @pytest.fixture(scope="module")
 def tiny_batch():
