@@ -75,6 +75,27 @@ def main():
     dt = sorted(times)[len(times) // 2]
     rtf = seconds / dt
 
+    # null-program RTT (same fetch pattern, trivial program): the tunnel's
+    # control round-trip floor, ~33-44 ms and WEATHER-DEPENDENT (PERF.md).
+    # device_ms_per_clip = clip wall - null RTT isolates device-side code
+    # progress from tunnel weather so round-over-round BENCH deltas aren't
+    # conflated (VERDICT r4 weak #3).
+    nul = jax.jit(lambda x: x + 1.0)
+    x0 = jnp.zeros(())
+    _ = float(nul(x0))  # warm
+    null_times = []
+    for _i in range(reps):
+        t0 = time.perf_counter()
+        _ = float(nul(x0))
+        null_times.append(time.perf_counter() - t0)
+    null_ms = sorted(null_times)[len(null_times) // 2] * 1e3
+    print(json.dumps({
+        "metric": "device_ms_per_clip_10s_euler1",
+        "value": round(dt * 1e3 - null_ms, 2),
+        "unit": "ms",
+        "null_rtt_ms": round(null_ms, 2),
+    }))
+
     # sustained pipelined serving (secondary metric, printed FIRST — the
     # driver parses the LAST line): many async dispatches in flight, full
     # outputs downloaded on a fetch thread, wall-clock start->last byte.

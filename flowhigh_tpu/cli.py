@@ -79,13 +79,32 @@ def cmd_infer(args) -> int:
         if not wavs:
             print(f"[infer] no .wav files in {args.input_dir}", file=sys.stderr)
             return 2
+        from .sr import BUCKET_SAMPLES
+
+        # keep_int16: mono 16-bit files upload raw int16 (half the bytes)
+        # and cast+scale on device — bit-identical (sr.py _generate_jit_i16).
+        # NOTE each distinct (rate, bucket, input dtype) compiles its own
+        # program (minutes cold on a tunneled TPU): a directory mixing
+        # mono-int16 and stereo/float wavs of the same length costs TWO
+        # compiles per (rate, bucket). --no_int16_wire forces everything
+        # onto the float32 programs.
+        items = [(w, *load_wav_mono(w, keep_int16=not args.no_int16_wire))
+                 for w in wavs]
         with ServingPipeline(model, wire=args.wire,
                              timestep=args.time_step) as srv:
-            # keep_int16: mono 16-bit files upload raw int16 (half the
-            # bytes) and cast+scale on device — bit-identical (sr.py
-            # _generate_jit_i16)
-            futs = [(w, srv.submit(*load_wav_mono(w, keep_int16=True)))
-                    for w in wavs]
+            # pre-warm every needed (rate, bucket, dtype) program before
+            # accepting traffic (ServingPipeline's documented contract)
+            combos = set()
+            for _, audio, sr_in in items:
+                in_bucket = max(1, BUCKET_SAMPLES * sr_in // 48000)
+                n_pad = max(in_bucket,
+                            -(-len(audio) // in_bucket) * in_bucket)
+                combos.add((sr_in, n_pad, np.dtype(audio.dtype)))
+            for sr_in, n_pad, dt in sorted(
+                    combos, key=lambda c: (c[0], c[1], c[2].name)):
+                srv.warmup(sr_in, n_pad / sr_in, dtype=dt)
+            futs = [(w, srv.submit(audio, sr_in))
+                    for w, audio, sr_in in items]
             for w, f in futs:
                 out = f.result()
                 dest = out_dir / f"{w.stem}_48k.wav"
@@ -237,6 +256,11 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--output_dir", default=None)
     pi.add_argument("--wire", default="float32", choices=["float32", "int16"],
                     help="device->host download format for --input_dir mode")
+    pi.add_argument("--no_int16_wire", action="store_true",
+                    help="--input_dir mode: upload mono 16-bit wavs as "
+                         "float32 instead of the raw-int16 input wire; "
+                         "avoids the extra per-(rate,bucket) compile when "
+                         "a directory mixes int16 and float/stereo wavs")
     pi.add_argument("--ckpt_dir", default=None)
     pi.add_argument("--model_file", default="FLowHigh_basic_400k.pt")
     pi.add_argument("--time_step", type=int, default=1)

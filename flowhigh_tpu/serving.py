@@ -99,7 +99,9 @@ class ServingPipeline:
         int16-dtype input rides the int16 INPUT wire: the raw samples are
         uploaded as-is (half the bytes) and cast+scaled on device — still
         bit-identical to the float path, since int16 is exact in float32
-        and /32768 is a power of two.
+        and /32768 is a power of two. int16 dtype is ALWAYS interpreted
+        as PCM scale (/32768), even for near-silent arrays whose
+        |max| <= 1 (the float path's max>1 heuristic never applies).
         """
         audio = np.asarray(audio)
         if audio.ndim == 2:

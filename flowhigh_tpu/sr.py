@@ -400,7 +400,10 @@ class FlowHighSR:
         uploaded as-is (half the host->device bytes on tunneled
         deployments) and cast+scaled on device — bit-identical to passing
         float, since int16 is exact in float32 and /32768 is a power of
-        two (the reference's own int16 scale, flowhighsr.py:62-63)."""
+        two (the reference's own int16 scale, flowhighsr.py:62-63).
+        Note: int16 dtype is ALWAYS interpreted as PCM scale (/32768),
+        including pathological near-silent arrays whose |max| <= 1 — the
+        float path's max>1 heuristic never applies to int16 input."""
         audio = np.asarray(audio)
         if audio.ndim == 2:
             audio = audio[0]

@@ -243,6 +243,30 @@ class TestBatchedServing:
         assert outs[0].shape == outs[1].shape == (1, 48000)
         assert not np.allclose(outs[0], outs[1])  # different content
 
+    def test_batch_int16_group_bit_matches_float(self, tiny_sr, rng):
+        # an all-int16 rate group rides the int16 INPUT wire
+        # (_generate_jit_i16): must be BIT-identical to the host-scaled
+        # float batch — same program shape, same key, exact /32768
+        a = (rng.standard_normal(16000) * 8000).astype(np.int16)
+        b = (rng.standard_normal(16000) * 8000).astype(np.int16)
+        f_outs = tiny_sr.generate_batch(
+            [a.astype(np.float32) / 32768.0, b.astype(np.float32) / 32768.0],
+            16000, timestep=1, seed=5)
+        i_outs = tiny_sr.generate_batch([a, b], 16000, timestep=1, seed=5)
+        for o_i, o_f in zip(i_outs, f_outs):
+            np.testing.assert_array_equal(o_i, o_f)
+
+    def test_batch_mixed_dtype_group_falls_back_to_float(self, tiny_sr, rng):
+        # a mixed int16+float group takes the float32 program, scaling the
+        # int16 rows on host — identical to an all-float batch
+        a = (rng.standard_normal(16000) * 8000).astype(np.int16)
+        b = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+        mixed = tiny_sr.generate_batch([a, b], 16000, timestep=1, seed=5)
+        all_f = tiny_sr.generate_batch(
+            [a.astype(np.float32) / 32768.0, b], 16000, timestep=1, seed=5)
+        for o_m, o_f in zip(mixed, all_f):
+            np.testing.assert_array_equal(o_m, o_f)
+
     def test_midpoint_solver_batch(self, tiny_sr, rng):
         tiny_sr.ode_method = "midpoint"
         a = (rng.standard_normal(16000) * 0.3).astype(np.float32)
