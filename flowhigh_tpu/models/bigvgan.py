@@ -403,6 +403,16 @@ class BigVGAN(nn.Module):
     # 0.128 dB LSD vs f32 — an opt-in for traffic-constrained deployments.
     storage_dtype: Optional[jnp.dtype] = None
 
+    def _boundary_dtype(self):
+        """MXU dtype for the NON-resblock convs (stage-boundary upsamplers,
+        conv_post). int8 quantization applies to the resblock convs only:
+        the upsamplers already run at ~81% MXU utilization (PERF.md round-4
+        MFU table — nothing to win) and conv_post feeds the output tanh
+        directly, so both keep exact dots."""
+        if self.conv_dtype is not None and jnp.dtype(self.conv_dtype) == jnp.int8:
+            return jnp.float32
+        return self.conv_dtype or jnp.float32
+
     def _pack_factor(self, ch: int, t: int) -> int:
         """Smallest power-of-two p with ch*p >= 256 (full lane tiles); 1 when
         the stage is already wide or t doesn't divide."""
@@ -450,7 +460,7 @@ class BigVGAN(nn.Module):
                 x = pallas_packed_conv_transpose1d(
                     x.astype(self.dtype), wt.astype(self.dtype), bt,
                     stride=u, padding=(k - u) // 2, p_in=p, p_out=p_next,
-                    dot_dtype=self.conv_dtype or jnp.float32)
+                    dot_dtype=self._boundary_dtype())
             else:
                 if p > 1:
                     from ..ops.packed import unpack_time
@@ -511,7 +521,7 @@ class BigVGAN(nn.Module):
             from ..ops.packed import pallas_packed_conv1d, unpack_time
             x = pallas_packed_conv1d(x, w_post.astype(self.dtype), b_post,
                                      pad=3, dilation=1, p=p,
-                                     dot_dtype=self.conv_dtype or jnp.float32)
+                                     dot_dtype=self._boundary_dtype())
             x = unpack_time(x, p)
         elif p > 1:
             from ..ops.packed import packed_conv1d, unpack_time

@@ -90,6 +90,10 @@ def packed_conv1d(xp: jax.Array, w: jax.Array, b: Optional[jax.Array], *,
     ``conv_dtype=jnp.bfloat16`` runs the MXU contraction in bf16 with f32
     accumulation (weights + activations cast inside the conv; output f32).
     """
+    if _is_int8(conv_dtype):
+        raise ValueError(
+            "int8 dots need per-channel scales — only the Pallas kernels "
+            "(pallas_convs=True) support conv_dtype=int8")
     wp, pad_lo, pad_hi = pack_conv_kernel(w, pad, dilation, p)
     dt = conv_dtype or xp.dtype
     y = jax.lax.conv_general_dilated(
@@ -143,25 +147,73 @@ def pack_conv_kernel_nz(w: jax.Array, pad: int, dilation: int, p: int):
     return wnz.reshape(len(nz_idx), p * cin, p * cout), rel_offsets, pad_lo, pad_hi
 
 
+# --- int8 quantized dots (opt-in via dot_dtype=jnp.int8) ----------------------
+#
+# The packed-conv dots run at ~MXU f32/bf16 peak (PERF.md round-4 conv
+# calibration) and carry ~p x redundant FLOPs from the dense packed tap
+# blocks; the v5e MXU's int8 path has 2x the MAC rate, so int8 dots are the
+# one remaining way to cut the conv half of the fused-unit time. Scheme:
+# per-output-lane weight scales folded at trace time (wq * s_w ~= w) +
+# ONE dynamic scalar activation scale per kernel input window
+# (aq * s_x ~= a), so the dequant factors completely out of the tap loop:
+# y = s_x * (sum_q int32_dot(aq, wq)) * s_w — zero extra VPU work inside the
+# MXU chain, ~3 VPU passes to quantize the window. Accuracy is bounded
+# offline by the realistic-stats LSD battery (tests/test_lsd_battery.py).
+
+
+def _is_int8(dt) -> bool:
+    return dt is not None and jnp.dtype(dt) == jnp.int8
+
+
+def _quant_weights_per_cout(wnz: jax.Array):
+    """[Q, pcin, pcout] f32 -> (int8 weights, [pcout] f32 scales)."""
+    amax = jnp.max(jnp.abs(wnz), axis=(0, 1))
+    s_w = jnp.maximum(amax, 1e-30) / 127.0
+    wq = jnp.clip(jnp.round(wnz / s_w), -127, 127).astype(jnp.int8)
+    return wq, s_w
+
+
+def _quant_tile(a: jax.Array):
+    """f32 window -> (int8 window, scalar scale) with a ~= aq * s_x."""
+    amax = jnp.maximum(jnp.max(jnp.abs(a)), 1e-30)
+    aq = jnp.round(a * (127.0 / amax)).astype(jnp.int8)
+    return aq, amax / 127.0
+
+
 def _make_conv_kernel(offsets, s_t: int, p8: int, c_blk: int, dot_dtype,
                       n_res: int = 1, out_scale: float = 1.0,
                       n_tiles: int = 0):
     import jax.experimental.pallas as pl
 
+    quant = _is_int8(dot_dtype)
+
     def kernel(cur_ref, prev_ref, nxt_ref, w_ref, b_ref, *rest):
+        if quant:
+            sw_ref, rest = rest[0], rest[1:]
         res_refs, out_ref = rest[:-1], rest[-1]
         pv, nx = prev_ref[0], nxt_ref[0]
         if n_tiles:  # neighbor-block halos: zero them at the sequence ends
             i = pl.program_id(2)
             pv = jnp.where(i > 0, pv, jnp.zeros_like(pv))
             nx = jnp.where(i < n_tiles - 1, nx, jnp.zeros_like(nx))
-        ext = jnp.concatenate([pv, cur_ref[0], nx], axis=0).astype(dot_dtype)
-        acc = jnp.zeros((s_t, c_blk), jnp.float32)
-        for qi, off in enumerate(offsets):
-            acc = acc + jax.lax.dot_general(
-                ext[p8 + off : p8 + off + s_t, :], w_ref[qi],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        ext = jnp.concatenate([pv, cur_ref[0], nx], axis=0)
+        if quant:
+            eq, s_x = _quant_tile(ext.astype(jnp.float32))
+            acc_i = jnp.zeros((s_t, c_blk), jnp.int32)
+            for qi, off in enumerate(offsets):
+                acc_i = acc_i + jax.lax.dot_general(
+                    eq[p8 + off : p8 + off + s_t, :], w_ref[qi],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            acc = acc_i.astype(jnp.float32) * (s_x * sw_ref[0, :])
+        else:
+            ext = ext.astype(dot_dtype)
+            acc = jnp.zeros((s_t, c_blk), jnp.float32)
+            for qi, off in enumerate(offsets):
+                acc = acc + jax.lax.dot_general(
+                    ext[p8 + off : p8 + off + s_t, :], w_ref[qi],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         acc = acc + b_ref[0, :].astype(jnp.float32)
         for res_ref in res_refs:
             acc = acc + res_ref[0].astype(jnp.float32)
@@ -203,7 +255,8 @@ def pallas_packed_conv1d(xp: jax.Array, w: jax.Array, b: Optional[jax.Array],
     pcout = p * cout
 
     wnz, rel_offsets, pad_lo, pad_hi = pack_conv_kernel_nz(w, pad, dilation, p)
-    wnz = wnz.astype(dot_dtype)                       # [Qnz, pC, pCout]
+    if not _is_int8(dot_dtype):
+        wnz = wnz.astype(dot_dtype)                   # [Qnz, pC, pCout]
     bias = b if b is None else jnp.tile(b, p)
     return _pallas_conv_rows(xp, wnz, rel_offsets, pad_lo, pad_hi, bias,
                              _as_residual_tuple(residual), out_scale,
@@ -294,6 +347,12 @@ def _pallas_conv_rows(xp, wnz, rel_offsets, pad_lo: int, pad_hi: int,
                      memory_space=pltpu.VMEM),
     ]
     args = [xp, prev, nxt, wnz, bias]
+    if _is_int8(dot_dtype):
+        wq, s_w = _quant_weights_per_cout(wnz.astype(jnp.float32))
+        args[3] = wq
+        in_specs.append(pl.BlockSpec((1, c_blk), lambda b_, j, i: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(s_w.reshape(1, pcout))
     for r in residuals:
         in_specs.append(pl.BlockSpec((1, s_t, c_blk),
                                      lambda b_, j, i: (b_, i, j),
@@ -415,7 +474,9 @@ def pallas_packed_conv_transpose1d(xp: jax.Array, wt: jax.Array,
         r.reshape(bsz, n_super, g_o * p_out * cout)
         for r in _as_residual_tuple(residual))
     bias = b if b is None else jnp.tile(b, g_o * p_out)
-    y = _pallas_conv_rows(xs, wnz.astype(dot_dtype), offsets,
+    if not _is_int8(dot_dtype):
+        wnz = wnz.astype(dot_dtype)
+    y = _pallas_conv_rows(xs, wnz, offsets,
                           pad_lo, pad_hi, bias, residuals, out_scale,
                           dot_dtype, interpret, g_o * p_out * cout)
     return y.reshape(bsz, s_out, p_out * cout)
@@ -739,8 +800,11 @@ def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
     act_lo = -pad_lo
     n_a = s_t + pad_lo + pad_hi
     sh = s_t // pipeline  # subtile rows (pipeline > 1: VPU/MXU interleave)
+    quant = _is_int8(dot_dtype)
 
     def kernel(cur_ref, prev_ref, nxt_ref, ab_ref, w_ref, b_ref, *rest):
+        if quant:
+            sw_ref, rest = rest[0], rest[1:]
         res_refs, out_ref = rest[:-1], rest[-1]
         i = pl.program_id(1)
         tile_start = i * s_t
@@ -750,12 +814,25 @@ def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
              nxt_ref[0].astype(jnp.float32)], axis=0)  # rows -hl8 .. s_t+hr8
 
         def conv(a, row0: int, n: int):
-            acc = jnp.zeros((n, pcout), jnp.float32)
-            for qi, off in enumerate(rel_offsets):
-                acc = acc + jax.lax.dot_general(
-                    a[off + pad_lo : off + pad_lo + n, :], w_ref[qi],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            # ``a`` is the f32 act window; int8 mode quantizes it here with
+            # one scalar scale so the dequant factors out of the tap loop
+            if quant:
+                aq, s_x = _quant_tile(a)
+                acc_i = jnp.zeros((n, pcout), jnp.int32)
+                for qi, off in enumerate(rel_offsets):
+                    acc_i = acc_i + jax.lax.dot_general(
+                        aq[off + pad_lo : off + pad_lo + n, :], w_ref[qi],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                acc = acc_i.astype(jnp.float32) * (s_x * sw_ref[0, :])
+            else:
+                a = a.astype(dot_dtype)
+                acc = jnp.zeros((n, pcout), jnp.float32)
+                for qi, off in enumerate(rel_offsets):
+                    acc = acc + jax.lax.dot_general(
+                        a[off + pad_lo : off + pad_lo + n, :], w_ref[qi],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
             acc = acc + b_ref[0, :].astype(jnp.float32)
             for res_ref in res_refs:
                 acc = acc + res_ref[0, row0 : row0 + n].astype(jnp.float32)
@@ -779,14 +856,14 @@ def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
             grow = tile_start + act_lo + jax.lax.broadcasted_iota(
                 jnp.int32, (n_a, pc), 0)
             a = jnp.where((grow >= 0) & (grow < s_true), a, 0.0)
-            finish(a.astype(dot_dtype))
+            finish(a)
 
         @pl.when(jnp.logical_not(is_edge))
         def _():
             if pipeline <= 1:
                 a = _act_rows(ext, -hl8, ab_ref[0, :], ab_ref[1, :], p, c,
                               act_lo, n_a)
-                finish(a.astype(dot_dtype))
+                finish(a)
                 return
             # Subtile software pipeline (see _make_amp_unit_kernel): emit
             # the next subtile's act (VPU) between this subtile's conv dots
@@ -803,7 +880,7 @@ def _make_act_conv_kernel(s_t: int, p: int, c: int, cout: int, s_true: int,
                 a_cur = a_next
                 if q + 1 < pipeline:
                     a_next = act_q(q + 1)                       # VPU
-                o_q = conv(a_cur.astype(dot_dtype), q * sh, sh)  # MXU
+                o_q = conv(a_cur, q * sh, sh)                    # MXU
                 out_ref[0, q * sh : (q + 1) * sh, :] = o_q.astype(out_ref.dtype)
 
     return kernel
@@ -897,7 +974,11 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
     pc, pcout = p * cin, p * cout
     n_tiles = s // s_t
     wnz, rel_offsets, pad_lo, pad_hi = pack_conv_kernel_nz(w, pad, dilation, p)
-    wnz = wnz.astype(dot_dtype)
+    w_scale = None
+    if _is_int8(dot_dtype):
+        wnz, w_scale = _quant_weights_per_cout(wnz.astype(jnp.float32))
+    else:
+        wnz = wnz.astype(dot_dtype)
     # the act body reads x rows up to 2*ceil(3/p) beyond the conv's own
     # [pad_lo, pad_hi] reach (see _act_rows): +-6 at p=1, +-4 at p=2, +-2
     # at p>=4
@@ -950,6 +1031,10 @@ def _act_conv_core(xp, s_true, s_t, alpha, beta, logscale, w, b, pad,
                      memory_space=pltpu.VMEM),
     ]
     args = [xp, prev, nxt, ab, wnz, bias]
+    if w_scale is not None:
+        in_specs.append(pl.BlockSpec((1, pcout), lambda b_, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(w_scale.reshape(1, pcout))
     for r in residuals:
         in_specs.append(pl.BlockSpec((1, s_t, pcout),
                                      lambda b_, i: (b_, i, 0),
@@ -1028,9 +1113,12 @@ def _make_amp_unit_kernel(s_t: int, p: int, c: int, s_true: int,
     a1_lo = t_lo - pl1
     n_a1 = n_t + pl1 + ph1
     sh = s_t // pipeline  # subtile rows (pipeline > 1: VPU/MXU interleave)
+    quant = _is_int8(dot_dtype)
 
     def kernel(cur_ref, prev_ref, nxt_ref, ab1_ref, w1_ref, b1_ref,
                ab2_ref, w2_ref, b2_ref, *rest):
+        if quant:
+            sw1_ref, sw2_ref, rest = rest[0], rest[1], rest[2:]
         res_refs, out_ref = rest[:-1], rest[-1]
         i = pl.program_id(1)
         tile_start = i * s_t
@@ -1040,21 +1128,43 @@ def _make_amp_unit_kernel(s_t: int, p: int, c: int, s_true: int,
              nxt_ref[0].astype(jnp.float32)], axis=0)  # rows -hl8 .. s_t+hr8
 
         def conv1(a1, n=n_t):
-            t = jnp.zeros((n, pc), jnp.float32)
-            for qi, off in enumerate(off1):
-                t = t + jax.lax.dot_general(
-                    a1[off + pl1 : off + pl1 + n, :], w1_ref[qi],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            if quant:
+                aq, s_x = _quant_tile(a1)
+                t_i = jnp.zeros((n, pc), jnp.int32)
+                for qi, off in enumerate(off1):
+                    t_i = t_i + jax.lax.dot_general(
+                        aq[off + pl1 : off + pl1 + n, :], w1_ref[qi],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                t = t_i.astype(jnp.float32) * (s_x * sw1_ref[0, :])
+            else:
+                a1 = a1.astype(dot_dtype)
+                t = jnp.zeros((n, pc), jnp.float32)
+                for qi, off in enumerate(off1):
+                    t = t + jax.lax.dot_general(
+                        a1[off + pl1 : off + pl1 + n, :], w1_ref[qi],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
             return t + b1_ref[0, :].astype(jnp.float32)
 
         def conv2(a2, row0: int, n: int):
-            acc = jnp.zeros((n, pc), jnp.float32)
-            for qi, off in enumerate(off2):
-                acc = acc + jax.lax.dot_general(
-                    a2[off + pl2 : off + pl2 + n, :], w2_ref[qi],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            if quant:
+                aq, s_x = _quant_tile(a2)
+                acc_i = jnp.zeros((n, pc), jnp.int32)
+                for qi, off in enumerate(off2):
+                    acc_i = acc_i + jax.lax.dot_general(
+                        aq[off + pl2 : off + pl2 + n, :], w2_ref[qi],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                acc = acc_i.astype(jnp.float32) * (s_x * sw2_ref[0, :])
+            else:
+                a2 = a2.astype(dot_dtype)
+                acc = jnp.zeros((n, pc), jnp.float32)
+                for qi, off in enumerate(off2):
+                    acc = acc + jax.lax.dot_general(
+                        a2[off + pl2 : off + pl2 + n, :], w2_ref[qi],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
             acc = acc + b2_ref[0, :].astype(jnp.float32)
             acc = acc + cur_ref[0, row0 : row0 + n].astype(jnp.float32)
             for res_ref in res_refs:
@@ -1076,7 +1186,7 @@ def _make_amp_unit_kernel(s_t: int, p: int, c: int, s_true: int,
             grow1 = tile_start + a1_lo + jax.lax.broadcasted_iota(
                 jnp.int32, (n_a1, pc), 0)
             a1 = jnp.where((grow1 >= 0) & (grow1 < s_true), a1, 0.0)
-            t = conv1(a1.astype(dot_dtype))
+            t = conv1(a1)
             # act2's up-FIR reads conv1's output with replicate clipping;
             # t rows outside [0, s_true) hold conv-of-zeros junk —
             # substitute the clipped edge content (t's local row 0 is abs
@@ -1087,17 +1197,17 @@ def _make_amp_unit_kernel(s_t: int, p: int, c: int, s_true: int,
             grow2 = tile_start - pl2 + jax.lax.broadcasted_iota(
                 jnp.int32, (s_t + pl2 + ph2, pc), 0)
             a2 = jnp.where((grow2 >= 0) & (grow2 < s_true), a2, 0.0)
-            finish(a2.astype(dot_dtype))
+            finish(a2)
 
         @pl.when(jnp.logical_not(is_edge))
         def _():
             if pipeline <= 1:
                 a1 = _act_rows(ext, -hl8, ab1_ref[0, :], ab1_ref[1, :], p, c,
                                a1_lo, n_a1)
-                t = conv1(a1.astype(dot_dtype))
+                t = conv1(a1)
                 a2 = _act_rows(t, t_lo, ab2_ref[0, :], ab2_ref[1, :], p, c,
                                -pl2, s_t + pl2 + ph2)
-                finish(a2.astype(dot_dtype))
+                finish(a2)
                 return
             # Subtile software pipeline: the monolithic chain act1(VPU) ->
             # conv1(MXU) -> act2(VPU) -> conv2(MXU) serializes the two
@@ -1119,13 +1229,13 @@ def _make_amp_unit_kernel(s_t: int, p: int, c: int, s_true: int,
             a1_next = act1_q(0)
             for q in range(pipeline):
                 a1_cur = a1_next
-                t_q = conv1(a1_cur.astype(dot_dtype), n=n_t_q)      # MXU
+                t_q = conv1(a1_cur, n=n_t_q)                        # MXU
                 if q + 1 < pipeline:
                     a1_next = act1_q(q + 1)                         # VPU
                 a2_q = _act_rows(t_q, q * sh - (pl2 + e2),          # VPU
                                  ab2_ref[0, :], ab2_ref[1, :], p, c,
                                  q * sh - pl2, n_a2_q)
-                o_q = conv2(a2_q.astype(dot_dtype), q * sh, sh)     # MXU
+                o_q = conv2(a2_q, q * sh, sh)                       # MXU
                 out_ref[0, q * sh : (q + 1) * sh, :] = o_q.astype(out_ref.dtype)
 
     return kernel
@@ -1234,8 +1344,16 @@ def _amp_unit_core(xp, s_true, alpha1, beta1, alpha2, beta2, logscale,
         pl.BlockSpec((1, pc), lambda b_, i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [xp, prev, nxt, ab1, wnz1.astype(dot_dtype), bias1,
-            ab2, wnz2.astype(dot_dtype), bias2]
+    if _is_int8(dot_dtype):
+        wq1, s_w1 = _quant_weights_per_cout(wnz1.astype(jnp.float32))
+        wq2, s_w2 = _quant_weights_per_cout(wnz2.astype(jnp.float32))
+        args = [xp, prev, nxt, ab1, wq1, bias1, ab2, wq2, bias2,
+                s_w1.reshape(1, pc), s_w2.reshape(1, pc)]
+        in_specs += [pl.BlockSpec((1, pc), lambda b_, i: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+    else:
+        args = [xp, prev, nxt, ab1, wnz1.astype(dot_dtype), bias1,
+                ab2, wnz2.astype(dot_dtype), bias2]
     for r in residuals:
         in_specs.append(pl.BlockSpec((1, s_t, pc),
                                      lambda b_, i: (b_, i, 0),

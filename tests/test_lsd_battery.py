@@ -210,3 +210,59 @@ class TestLSDBattery:
         print(f"\n[lsd-battery] {cfm_method} waveform LSD {lsd_db:.2e} dB "
               f"(peak {np.abs(wav_ref).max():.3f})")
         assert lsd_db <= 1e-3, lsd_db
+
+    def _solved_pair(self, nets, vocoders, cond_mel):
+        """One shared (torch waveform, jax mel) pair for the vocoder-variant
+        arms: euler/reference-semantics solve on independent_cfm_adaptive."""
+        tnet, jnet, params = nets
+        tvoc, _, _ = vocoders
+        rng = np.random.default_rng(2)
+        y0 = _prior("independent_cfm_adaptive", cond_mel, "reference", rng)
+        ref_mel = _torch_solve(tnet, y0, cond_mel, 2, "euler", 1.0)
+        got_mel = _jax_solve(jnet, params, y0, cond_mel, 2, "euler", 1.0)
+        with torch.no_grad():
+            wav_ref = tvoc(torch.from_numpy(ref_mel).transpose(1, 2))
+        return wav_ref.numpy()[:, 0, :], got_mel
+
+    @staticmethod
+    def _wav_lsd_db(wav_ref, wav_got) -> float:
+        lsd = np.asarray(log_spectral_distance(
+            jnp.asarray(wav_ref), jnp.asarray(wav_got),
+            n_fft=512, hop_length=128))
+        return float(10.0 * lsd.mean())
+
+    def test_waveform_lsd_packed_vocoder(self, nets, vocoders, cond_mel):
+        """The SERVED vocoder config (packed + Pallas convs + fused units,
+        bench.py's fused_vocoder=True) through the same realistic-stats
+        battery — closes the packed<->replica realistic-statistics hole
+        (VERDICT r4 missing #2): the plain-path arm above never exercises
+        ops/packed.py. Interpret mode on CPU, same kernels as TPU."""
+        _, _, voc_params = vocoders
+        wav_ref, got_mel = self._solved_pair(nets, vocoders, cond_mel)
+        jvoc_packed = BigVGAN(FULL_VOC, packed=True, pallas_convs=True,
+                              fuse_act_conv=True)
+        wav_got = np.asarray(jvoc_packed.apply(voc_params, jnp.asarray(got_mel)))
+        assert wav_got.shape == wav_ref.shape
+        lsd_db = self._wav_lsd_db(wav_ref, wav_got)
+        print(f"\n[lsd-battery] packed/fused vocoder waveform LSD "
+              f"{lsd_db:.2e} dB")
+        assert lsd_db <= 1e-3, lsd_db
+
+    def test_waveform_lsd_int8_vocoder(self, nets, vocoders, cond_mel):
+        """int8 packed-conv dots at realistic weight statistics: the offline
+        quality bound for the opt-in vocoder_conv_dtype=int8 serving config
+        (VERDICT r4 next-round #1 — the same battery methodology that stands
+        in for the blocked checkpoint-LSD gate). The measured LSD is recorded
+        in BASELINE.md; the assert pins the order of magnitude so a quant
+        regression fails loudly."""
+        _, _, voc_params = vocoders
+        wav_ref, got_mel = self._solved_pair(nets, vocoders, cond_mel)
+        jvoc_i8 = BigVGAN(FULL_VOC, packed=True, pallas_convs=True,
+                          fuse_act_conv=True, conv_dtype=jnp.int8)
+        wav_got = np.asarray(jvoc_i8.apply(voc_params, jnp.asarray(got_mel)))
+        assert wav_got.shape == wav_ref.shape
+        assert np.isfinite(wav_got).all()
+        lsd_db = self._wav_lsd_db(wav_ref, wav_got)
+        print(f"\n[lsd-battery] int8 vocoder waveform LSD {lsd_db:.3f} dB "
+              f"(f32 arm is <=1e-3)")
+        assert lsd_db <= 1.0, lsd_db

@@ -436,3 +436,95 @@ class TestFusedActConv:
                            fuse_act_conv="auto").apply(params, mel)
         np.testing.assert_allclose(np.asarray(got_auto), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
+
+
+class TestInt8Dots:
+    """int8 packed-conv dots (opt-in dot_dtype=jnp.int8): per-output-lane
+    weight scales + one dynamic scalar activation scale per kernel window
+    (ops/packed.py round-5). Quantization-grade closeness here at random
+    weights; the realistic-statistics quality bound is the LSD battery
+    (tests/test_lsd_battery.py)."""
+
+    @staticmethod
+    def _rel(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+    @pytest.mark.parametrize("p,c,k,d", [(8, 48, 7, 3), (4, 96, 11, 5),
+                                         (2, 192, 7, 1), (1, 384, 3, 1)])
+    def test_int8_conv_close(self, rng, p, c, k, d):
+        from flowhigh_tpu.ops.packed import pallas_packed_conv1d
+        s = 48
+        xp = jnp.asarray(rng.standard_normal((1, s, p * c)).astype(np.float32))
+        w = jnp.asarray((rng.standard_normal((k, c, c)) * 0.1).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.01)
+        pad = (k * d - d) // 2
+        ref = packed_conv1d(xp, w, b, pad=pad, dilation=d, p=p)
+        got = pallas_packed_conv1d(xp, w, b, pad=pad, dilation=d, p=p,
+                                   dot_dtype=jnp.int8, interpret=True)
+        assert self._rel(got, ref) < 0.03
+
+    def test_int8_act_conv_pair_close(self, rng):
+        from flowhigh_tpu.ops.packed import pallas_packed_act_conv1d
+        p, c, k, d, s = 4, 96, 7, 3, 48
+        xp = jnp.asarray(rng.standard_normal((1, s, p * c)).astype(np.float32))
+        w = jnp.asarray((rng.standard_normal((k, c, c)) * 0.1).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.01)
+        alpha = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+        beta = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+        pad = (k * d - d) // 2
+        a = packed_snake_activation1d(xp, alpha, beta, True, p, interpret=True)
+        ref = packed_conv1d(a, w, b, pad=pad, dilation=d, p=p)
+        got = pallas_packed_act_conv1d(xp, alpha, beta, True, w, b, pad=pad,
+                                       dilation=d, p=p, dot_dtype=jnp.int8,
+                                       interpret=True)
+        assert self._rel(got, ref) < 0.03
+
+    def test_int8_amp_unit_close(self, rng):
+        from flowhigh_tpu.ops.packed import pallas_packed_amp_unit
+        p, c, k, d, s = 8, 48, 7, 3, 48
+        xp = jnp.asarray(rng.standard_normal((1, s, p * c)).astype(np.float32))
+        mk = lambda *sh: jnp.asarray(
+            (rng.standard_normal(sh) * 0.1).astype(np.float32))
+        w1, w2 = mk(k, c, c), mk(k, c, c)
+        b1, b2 = mk(c) * 0.1, mk(c) * 0.1
+        a1, be1, a2, be2 = mk(c), mk(c), mk(c), mk(c)
+        pad1, pad2 = (k * d - d) // 2, (k - 1) // 2
+        t = packed_conv1d(
+            packed_snake_activation1d(xp, a1, be1, True, p, interpret=True),
+            w1, b1, pad=pad1, dilation=d, p=p)
+        ref = packed_conv1d(
+            packed_snake_activation1d(t, a2, be2, True, p, interpret=True),
+            w2, b2, pad=pad2, dilation=1, p=p) + xp
+        got = pallas_packed_amp_unit(xp, a1, be1, a2, be2, True, w1, b1,
+                                     w2, b2, pad1=pad1, dil1=d, pad2=pad2,
+                                     p=p, dot_dtype=jnp.int8, interpret=True)
+        assert self._rel(got, ref) < 0.05
+
+    def test_int8_full_generator_close(self, rng):
+        """BigVGAN(conv_dtype=int8): resblock dots quantized, stage-boundary
+        upsamplers and conv_post stay exact f32 (_boundary_dtype)."""
+        import jax
+        from flowhigh_tpu.config import VocoderConfig
+        from flowhigh_tpu.models.bigvgan import BigVGAN
+        cfg = VocoderConfig(
+            num_mels=8, upsample_initial_channel=64,
+            upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+            resblock_kernel_sizes=(3, 7),
+            resblock_dilation_sizes=((1, 3), (1, 3)))
+        mel = jnp.asarray(rng.standard_normal((1, 40, 8)).astype(np.float32) * 0.3)
+        plain = BigVGAN(cfg)
+        params = plain.init(jax.random.PRNGKey(0), mel)
+        ref = np.asarray(plain.apply(params, mel))
+        got = np.asarray(BigVGAN(cfg, packed=True, pallas_convs=True,
+                                 fuse_act_conv=True,
+                                 conv_dtype=jnp.int8).apply(params, mel))
+        assert np.isfinite(got).all()
+        assert self._rel(got, ref) < 0.1  # quantization-grade, random weights
+
+    def test_int8_rejected_off_pallas_path(self, rng):
+        xp = jnp.zeros((1, 8, 96), jnp.float32)
+        w = jnp.zeros((3, 48, 48), jnp.float32)
+        with pytest.raises(ValueError, match="int8"):
+            packed_conv1d(xp, w, None, pad=1, dilation=1, p=2,
+                          conv_dtype=jnp.int8)
