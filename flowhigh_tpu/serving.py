@@ -10,8 +10,16 @@ sustained 107.8x vs 85.98x single-clip on identical programs) keeps
 several async-dispatched clips in flight, with every blocking transfer
 owned by a dedicated thread:
 
-    submit() -> [feeder thread: pad -> device_put -> async dispatch]
+    submit() -> [uploader thread: pad -> device_put]
+             -> [dispatch thread: key -> async dispatch]
              -> [fetch thread: download -> trim -> Future.set_result]
+
+(Round 5 split the round-4 feeder into uploader + dispatcher: the ~35
+ms/clip host->device upload serialized against the ~10 ms dispatch
+control on one thread — PERF.md round-4 measured exactly that gap
+between true serving and the upload-free sustained loop. The thread
+trio lives in ``pipeline.StagePipeline``; ``StreamingSR`` rides the
+same core for long-form chunks.)
 
 ``ServingPipeline`` packages that structure behind a small API::
 
@@ -30,7 +38,6 @@ throughput comes from pipelined dispatch (PERF.md). A request with a new
 from __future__ import annotations
 
 import math
-import queue
 import threading
 from concurrent.futures import Future
 from typing import Optional, Sequence
@@ -38,8 +45,8 @@ from typing import Optional, Sequence
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
+from .pipeline import StagePipeline
 from .sr import BUCKET_SAMPLES, FlowHighSR, _warn_if_unconverged, _wire_int16
 
 
@@ -74,15 +81,14 @@ class ServingPipeline:
         self._n_submitted = 0
         self._closed = False
         self._lock = threading.Lock()
-        # feeder queue is unbounded: submit() never blocks; backpressure
-        # lives on the dispatch->fetch queue, which caps device work in
-        # flight (the feeder stalls on q_fetch.put once it's full).
-        self._q_submit: "queue.Queue" = queue.Queue()
-        self._q_fetch: "queue.Queue" = queue.Queue(maxsize=max_in_flight)
-        self._th_feed = threading.Thread(target=self._feeder, daemon=True)
-        self._th_fetch = threading.Thread(target=self._fetcher, daemon=True)
-        self._th_feed.start()
-        self._th_fetch.start()
+        # submit queue is unbounded: submit() never blocks. The
+        # upload->dispatch queue holds a few staged device inputs so a
+        # slow upload never starves the dispatcher; the dispatch->fetch
+        # depth caps dispatched-but-unfetched device work (HBM
+        # backpressure, like StreamingSR.pipeline_depth).
+        self._pipe = StagePipeline(
+            [self._upload, self._dispatch, self._fetch],
+            depths=[4, max_in_flight])
 
     # -- request side -----------------------------------------------------
 
@@ -116,7 +122,7 @@ class ServingPipeline:
                 raise RuntimeError("ServingPipeline is closed")
             req_id = self._n_submitted
             self._n_submitted += 1
-            self._q_submit.put((fut, audio, int(sr), seed, req_id))
+            self._pipe.put((fut, audio, int(sr), seed, req_id))
         return fut
 
     def generate_many(self, audios: Sequence[np.ndarray], srs,
@@ -138,64 +144,69 @@ class ServingPipeline:
         n = int(sr * seconds)
         self.submit(np.zeros(max(n, 1), dtype), sr, seed=0).result()
 
-    # -- worker threads ----------------------------------------------------
+    # -- pipeline stages (each runs on its own StagePipeline thread) --------
 
-    def _feeder(self):
+    def _upload(self, item):
+        """Pad to the output bucket and stage on device. Owns every
+        blocking host->device transfer (one combined put per request —
+        each separate put costs a ~30 ms control round-trip on tunneled
+        deployments, PERF.md round-4)."""
+        fut, audio, sr, seed, req_id = item
+        try:
+            int16_in = audio.dtype == np.int16
+            if not int16_in and np.abs(audio).max() > 1:
+                audio = audio / 32768.0
+            n = len(audio)
+            in_bucket = BUCKET_SAMPLES * sr // self.target_sampling_rate
+            if in_bucket <= 0:
+                raise ValueError(
+                    f"input rate {sr} too low for target "
+                    f"{self.target_sampling_rate}")
+            n_pad = max(in_bucket, math.ceil(n / in_bucket) * in_bucket)
+            padded = np.zeros(n_pad,
+                              np.int16 if int16_in else np.float32)
+            padded[:n] = audio
+            arr_d, n_d = jax.device_put(
+                (padded[None, :], np.asarray(n)))
+            key = (jax.random.PRNGKey(seed) if seed is not None
+                   else jax.random.fold_in(self._base_key, req_id))
+        except Exception as e:
+            fut.set_exception(e)
+            return None
+        return (fut, arr_d, n_d, key, sr, int16_in)
+
+    def _dispatch(self, item):
+        """Async-dispatch the jitted program on staged device input (~10 ms
+        dispatch control RTT; never waits on uploads or downloads)."""
+        fut, arr_d, n_d, key, sr, int16_in = item
         m = self.model
-        while True:
-            item = self._q_submit.get()
-            if item is None:
-                self._q_fetch.put(None)
-                return
-            fut, audio, sr, seed, req_id = item
-            try:
-                int16_in = audio.dtype == np.int16
-                if not int16_in and np.abs(audio).max() > 1:
-                    audio = audio / 32768.0
-                n = len(audio)
-                in_bucket = BUCKET_SAMPLES * sr // self.target_sampling_rate
-                if in_bucket <= 0:
-                    raise ValueError(
-                        f"input rate {sr} too low for target "
-                        f"{self.target_sampling_rate}")
-                n_pad = max(in_bucket, math.ceil(n / in_bucket) * in_bucket)
-                padded = np.zeros(n_pad,
-                                  np.int16 if int16_in else np.float32)
-                padded[:n] = audio
-                # one host->device put for waveform + length (each separate
-                # put from this loop costs a blocking control round-trip on
-                # tunneled deployments — measured ~30 ms, PERF.md round-4)
-                arr_d, n_d = jax.device_put(
-                    (padded[None, :], np.asarray(n)))
-                key = (jax.random.PRNGKey(seed) if seed is not None
-                       else jax.random.fold_in(self._base_key, req_id))
-                std_1, std_2 = m._default_stds()
-                gen = m._generate_jit_i16 if int16_in else m._generate_jit
-                out, n48, stats = gen(
-                    m.params, m.melvoco.vocoder_params, arr_d, n_d, key,
-                    sr, self.target_sampling_rate, self.timestep,
-                    m.cfm_method, m.ode_method, float(std_1), float(std_2))
-                if self.wire == "int16":
-                    out = _wire_int16(out)
-            except Exception as e:
-                fut.set_exception(e)
-                continue
-            self._q_fetch.put((fut, out, n48, stats))
+        try:
+            std_1, std_2 = m._default_stds()
+            gen = m._generate_jit_i16 if int16_in else m._generate_jit
+            out, n48, stats = gen(
+                m.params, m.melvoco.vocoder_params, arr_d, n_d, key,
+                sr, self.target_sampling_rate, self.timestep,
+                m.cfm_method, m.ode_method, float(std_1), float(std_2))
+            if self.wire == "int16":
+                out = _wire_int16(out)
+        except Exception as e:
+            fut.set_exception(e)
+            return None
+        return (fut, out, n48, stats)
 
-    def _fetcher(self):
-        while True:
-            item = self._q_fetch.get()
-            if item is None:
-                return
-            fut, out, n48, stats = item
-            try:
-                _warn_if_unconverged(stats)
-                out_np = np.asarray(out)
-                if out_np.dtype == np.int16:
-                    out_np = out_np.astype(np.float32) / 32767.0
-                fut.set_result(out_np[:, : int(np.asarray(n48)[0])])
-            except Exception as e:  # keep draining; this request only
-                fut.set_exception(e)
+    def _fetch(self, item):
+        """Download, trim, resolve the Future. Owns every blocking
+        device->host transfer."""
+        fut, out, n48, stats = item
+        try:
+            _warn_if_unconverged(stats)
+            out_np = np.asarray(out)
+            if out_np.dtype == np.int16:
+                out_np = out_np.astype(np.float32) / 32767.0
+            fut.set_result(out_np[:, : int(np.asarray(n48)[0])])
+        except Exception as e:  # keep draining; this request only
+            fut.set_exception(e)
+        return None
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -206,9 +217,7 @@ class ServingPipeline:
             if self._closed:
                 return
             self._closed = True
-        self._q_submit.put(None)
-        self._th_feed.join()
-        self._th_fetch.join()
+        self._pipe.close()
 
     def __enter__(self) -> "ServingPipeline":
         return self

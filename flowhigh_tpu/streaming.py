@@ -64,6 +64,7 @@ class StreamingSR:
         if wire not in ("float32", "int16"):
             raise ValueError(f"wire must be 'float32' or 'int16', got {wire!r}")
         self.wire = wire
+        self._sharded_fns: dict = {}  # (mesh id, sr, target, step) -> fn
 
     def generate(self, audio: np.ndarray, sr: int,
                  target_sampling_rate: int = 48000, timestep: int = 1,
@@ -112,97 +113,71 @@ class StreamingSR:
             segs.append(seg.astype(np.float32))
 
         from .sr import _warn_if_unconverged
-        import queue
-        import threading
+        from .pipeline import StagePipeline
 
         import jax
 
         starts = list(range(0, n_chunks, self.batch_size))
         ys: list = []
-        errs: list = []
-        # three-stage pipeline over the tunnel: an UPLOADER thread owns every
-        # host->device transfer (each jnp.asarray issued from the dispatch
-        # loop costs a blocking control round-trip — measured ~30 ms/chunk),
-        # the MAIN thread only dispatches (async), and a FETCH thread owns
-        # every blocking device->host download. Queue capacities bound the
-        # batches in flight (device HBM backpressure).
-        q_up: "queue.Queue" = queue.Queue(maxsize=4)
-        q: "queue.Queue" = queue.Queue(maxsize=self.pipeline_depth)
-        # per-batch keys: ONE upload + one on-device split instead of a
-        # PRNGKey program dispatch per chunk
+        # the shared uploader -> dispatcher -> fetcher thread trio
+        # (pipeline.StagePipeline, same core as ServingPipeline): one
+        # thread owns each blocking tunnel operation so uploads, dispatch
+        # control RTTs and downloads overlap; the dispatch->fetch depth
+        # bounds batches in flight (device HBM backpressure). FIFO order
+        # is preserved, so ys arrives in chunk order for the stitcher.
+        #
+        # per-batch keys: ONE split up front instead of a PRNGKey program
+        # dispatch per chunk
         keys = jax.random.split(jax.random.PRNGKey(seed), len(starts))
         lens_d = jax.device_put(
             np.full((self.batch_size,), chunk_in, np.int32))
 
-        stop = threading.Event()
+        def upload(item):
+            bi, b0 = item
+            batch = segs[b0 : b0 + self.batch_size]
+            nb = len(batch)
+            if nb < self.batch_size:
+                # pad rows so every batch reuses ONE compiled program
+                batch = batch + [np.zeros(chunk_in, np.float32)] * (
+                    self.batch_size - nb)
+            return (bi, jax.device_put(np.stack(batch)), nb)
 
-        def put_up(item) -> bool:
-            """Bounded put that aborts when the consumer stopped early —
-            a plain blocking put would deadlock th_up.join() if the main
-            loop exits before draining q_up."""
-            while not stop.is_set():
-                try:
-                    q_up.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+        def dispatch(item):
+            bi, arr_d, nb = item
+            out_d, _, stats = self.model.dispatch_generate(
+                arr_d, lens_d, sr, target_sampling_rate, timestep,
+                key=keys[bi], wire=self.wire)
+            return (out_d, nb, stats)
 
-        def uploader():
-            for b0 in starts:
-                batch = segs[b0 : b0 + self.batch_size]
-                nb = len(batch)
-                if nb < self.batch_size:
-                    # pad rows so every batch reuses ONE compiled program
-                    batch = batch + [np.zeros(chunk_in, np.float32)] * (
-                        self.batch_size - nb)
-                try:
-                    arr_d = jax.device_put(np.stack(batch))
-                except Exception as e:
-                    errs.append(e)
-                    put_up(None)
-                    return
-                if not put_up((arr_d, nb)):
-                    return
-            put_up(None)
+        def fetch(item):
+            out_d, nb, stats = item
+            _warn_if_unconverged(stats)
+            out_np = np.asarray(out_d)
+            if out_np.dtype == np.int16:
+                out_np = out_np.astype(np.float32) / 32767.0
+            ys.extend(out_np[i] for i in range(nb))
 
-        def fetcher():
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                out_d, nb, stats = item
-                try:
-                    _warn_if_unconverged(stats)
-                    out_np = np.asarray(out_d)
-                    if out_np.dtype == np.int16:
-                        out_np = out_np.astype(np.float32) / 32767.0
-                    ys.extend(out_np[i] for i in range(nb))
-                except Exception as e:  # surface after join; keep draining
-                    errs.append(e)
+        pipe = StagePipeline([upload, dispatch, fetch],
+                             depths=[4, self.pipeline_depth])
+        for bi, b0 in enumerate(starts):
+            pipe.put((bi, b0))
+        pipe.close()
+        if pipe.stage_errors:
+            raise pipe.stage_errors[0]
 
-        th_up = threading.Thread(target=uploader, daemon=True)
-        th = threading.Thread(target=fetcher, daemon=True)
-        th_up.start()
-        th.start()
-        try:
-            for bi, b0 in enumerate(starts):
-                item = q_up.get()
-                if item is None:
-                    break
-                arr_d, nb = item
-                out_d, _, stats = self.model.dispatch_generate(
-                    arr_d, lens_d, sr, target_sampling_rate, timestep,
-                    key=keys[bi], wire=self.wire)
-                q.put((out_d, nb, stats))  # blocks only at full depth
-        finally:
-            stop.set()  # unblock the uploader if we exited early
-            q.put(None)
-            th.join()
-            th_up.join()
-        if errs:
-            raise errs[0]
+        return self._stitch(ys, n_chunks, hop_in, chunk_in, overlap_in,
+                            to_out, total_out)
 
+    @staticmethod
+    def _stitch(ys, n_chunks: int, hop_in: int, chunk_in: int,
+                overlap_in: int, to_out, total_out: int) -> np.ndarray:
+        """Overlap-add the per-chunk 48 kHz waveforms with an equal-power
+        (sin^2) crossfade over the overlap region; interior samples (where
+        only one chunk contributes, weight 1) pass through bit-exactly."""
+        out = np.zeros(total_out, np.float32)
+        weight = np.zeros(total_out, np.float32)
+        overlap_out = to_out(overlap_in)
+        ramp = np.sin(0.5 * np.pi * np.linspace(0, 1, overlap_out)) ** 2
         for c in range(n_chunks):
             start = c * hop_in
             y = ys[c][: to_out(chunk_in)]
@@ -219,3 +194,70 @@ class StreamingSR:
 
         out = out / np.maximum(weight, 1e-8)
         return out[None, :]
+
+    def generate_sharded(self, audio: np.ndarray, sr: int, mesh,
+                         target_sampling_rate: int = 48000,
+                         timestep: int = 1, seed: int = 0) -> np.ndarray:
+        """Chunk-parallel long-form over a device mesh: ONE clip's chunks
+        sharded across the ``data`` axis (the CP analog of SURVEY §2.4 —
+        the reference processes whole clips on one device), stitched on
+        host with the same equal-power crossfade as ``generate``.
+
+        The chunk rows ride ``FlowHighSR.make_sharded_generate`` — each
+        chip runs the full single-chip pipeline on its rows, no
+        collectives. Per-chip RTF math: with C chunks over D chips and
+        t_chunk per-chunk device time, device wall is
+        ceil(C/D) * t_chunk — a 5-min clip (C=34 at 10 s chunks / 1 s
+        overlap) on an 8-chip v5e slice runs ceil(34/8)=5 chunk-times
+        ~= 8x faster than one chip, i.e. ~500x realtime at the measured
+        86 ms/chunk, until the host upload/stitch (O(C), ~3.5 s/74 MB
+        through a tunnel) dominates.
+
+        Chunk count is padded up to a multiple of the data-axis size with
+        zero rows (discarded after); every call with the same
+        (mesh, sr, target, timestep) reuses one compiled program."""
+        audio = np.asarray(audio)
+        if audio.ndim == 2:
+            audio = audio[0]
+        if np.abs(audio).max() > 1:
+            audio = audio / 32768.0
+
+        n = len(audio)
+        chunk_in = int(self.chunk_seconds * sr)
+        overlap_in = int(self.overlap_seconds * sr)
+        hop_in = chunk_in - overlap_in
+
+        if n <= chunk_in:
+            return self.model.generate(audio, sr, target_sampling_rate,
+                                       timestep, seed)
+
+        ratio = target_sampling_rate // math.gcd(target_sampling_rate, sr)
+        den = sr // math.gcd(target_sampling_rate, sr)
+        def to_out(x: int) -> int:
+            return x * ratio // den
+
+        n_chunks = 1 + math.ceil((n - chunk_in) / hop_in)
+        segs = []
+        for c in range(n_chunks):
+            seg = audio[c * hop_in : c * hop_in + chunk_in]
+            if len(seg) < chunk_in:
+                seg = np.pad(seg, (0, chunk_in - len(seg)))
+            segs.append(seg.astype(np.float32))
+
+        n_data = mesh.shape["data"]
+        n_rows = math.ceil(n_chunks / n_data) * n_data
+        segs += [np.zeros(chunk_in, np.float32)] * (n_rows - n_chunks)
+
+        cache_key = (id(mesh), sr, target_sampling_rate, timestep)
+        fn = self._sharded_fns.get(cache_key)
+        if fn is None:
+            fn = self.model.make_sharded_generate(
+                mesh, in_sr=sr, target_sampling_rate=target_sampling_rate,
+                timestep=timestep)
+            self._sharded_fns[cache_key] = fn
+        out_d, _ = fn(np.stack(segs), np.full(n_rows, chunk_in, np.int32),
+                      seed=seed)
+        ys = list(np.asarray(out_d)[:n_chunks])
+
+        return self._stitch(ys, n_chunks, hop_in, chunk_in, overlap_in,
+                            to_out, to_out(n))

@@ -48,22 +48,74 @@ def main():
     out = stream_i16.generate(audio, in_sr, timestep=1)  # warm int16 program
     assert np.isfinite(out).all()
 
+    # serving-reference arm: the SAME 10 s-chunk program pumped upload-free
+    # (pre-staged device input, async dispatch, fetch thread) — bench.py's
+    # sustained-serving structure. Streaming's structural ceiling vs this
+    # arm is output/compute = 300/340 = 0.88: the 1 s crossfade overlap
+    # reprocesses 34x10 s of audio for 300 s of output. The ratio below is
+    # the honest "did the pipeline close the non-structural gap" number.
+    import queue
+    import threading
+
+    import jax.numpy as jnp
+
+    chunk_n = int(10.0 * in_sr)
+    chunk_dev = jnp.asarray(audio[:chunk_n])[None, :]
+    lens_dev = jnp.asarray(np.array([chunk_n], np.int32))
+    n_serving = 30  # 300 s of output, like the streaming arms
+
+    def serving_ref(seed):
+        key = jax.random.PRNGKey(seed)
+        q: "queue.Queue" = queue.Queue(maxsize=8)
+        done = []
+
+        def fetcher():
+            while True:
+                o = q.get()
+                if o is None:
+                    return
+                done.append(np.asarray(o))
+
+        def run(k):
+            out, _, _ = model.dispatch_generate(
+                chunk_dev, lens_dev, in_sr, 48000, 1, key=k)
+            return out
+
+        _ = float(run(key).ravel()[0])  # warm + drain
+        th = threading.Thread(target=fetcher, daemon=True)
+        th.start()
+        t0 = time.perf_counter()
+        for i in range(n_serving):
+            q.put(run(jax.random.fold_in(key, i)))
+        q.put(None)
+        th.join()
+        wall = time.perf_counter() - t0
+        assert len(done) == n_serving
+        return wall
+
     # arms interleaved: tunnel-RTT weather drifts +-30% within an hour
-    times = {"float32": [], "int16": []}
+    times = {"float32": [], "int16": [], "serving_ref": []}
     for i in range(3):
         for wire, s in (("float32", stream), ("int16", stream_i16)):
             t0 = time.perf_counter()
             out = s.generate(audio, in_sr, timestep=1, seed=i)
             # output is host numpy already — wall time IS end-to-end time
             times[wire].append(time.perf_counter() - t0)
+        times["serving_ref"].append(serving_ref(i))
     for wire, metric in (("float32", "streaming_rtf_16k_to_48k_5min_euler1"),
-                         ("int16", "streaming_int16_wire_rtf_5min_euler1")):
+                         ("int16", "streaming_int16_wire_rtf_5min_euler1"),
+                         ("serving_ref", "serving_ref_rtf_same_window")):
         dt = sorted(times[wire])[len(times[wire]) // 2]
         print(json.dumps({
             "metric": metric,
             "value": round((60 * minutes) / dt, 2),
             "unit": "x_realtime_per_chip",
         }))
+    ratio = (sorted(times["serving_ref"])[1]
+             / sorted(times["float32"])[1])
+    print(json.dumps({"metric": "streaming_over_serving_ratio",
+                      "value": round(ratio, 3),
+                      "structural_ceiling": round(300.0 / 340.0, 3)}))
 
 
 if __name__ == "__main__":
