@@ -215,6 +215,87 @@ class TestFlagshipShapeSharding:
         assert names <= tp_names(state.params)
 
 
+class TestFlagshipShardedGenerate:
+    """Sharded GENERATE at flagship VF dims (VERDICT r4 weak #4 / next #4):
+    the dim-1024 fused-QKV inference path partitioned over the mesh, not
+    just the toy dim-64 dryrun. Reference serving analog:
+    src/flowhigh/train/trainer.py:97-102 (the reference has no sharded
+    inference at all — serving DP is new capability)."""
+
+    def _flagship_model(self):
+        from flowhigh_tpu import FlowHighSR
+        from flowhigh_tpu.config import (FlowHighConfig, ModelConfig,
+                                         VocoderConfig)
+        # flagship VF (configs/config.json:22-25): dim 1024, depth 2,
+        # 16 heads x 64; reduced-but-realistic vocoder: 256-channel,
+        # 4-stage (flagship is 1536-channel 6-stage)
+        cfg = FlowHighConfig().replace(
+            model=ModelConfig(dim_in=256, dim=1024, depth=2, heads=16,
+                              dim_head=64),
+            vocoder=VocoderConfig(
+                num_mels=256, upsample_initial_channel=256,
+                upsample_rates=(8, 5, 4, 3),
+                upsample_kernel_sizes=(16, 10, 8, 6),
+                resblock_kernel_sizes=(3, 7),
+                resblock_dilation_sizes=((1, 3), (1, 3))))
+        m = FlowHighSR(cfg, cfm_method="independent_cfm_adaptive",
+                       ode_method="euler")
+        m.init_params(jax.random.PRNGKey(0), fast=True)
+        return m
+
+    @pytest.mark.slow
+    def test_dp4_matches_per_shard_single_chip(self):
+        """dp4, 2 rows per shard: every sharded row must match the
+        single-chip program run on that shard's local batch with the
+        shard-folded key (exactly what make_sharded_generate's local fn
+        computes — proves the partitioning moved data, not math)."""
+        m = self._flagship_model()
+        mesh = make_global_mesh(n_data=4, n_model=1)
+        fn = m.make_sharded_generate(mesh, in_sr=16000, timestep=1)
+
+        rng = np.random.default_rng(0)
+        n_in = 8000  # 0.5 s @ 16 kHz
+        batch = (rng.standard_normal((8, n_in)) * 0.3).astype(np.float32)
+        lens = np.full((8,), n_in, np.int32)
+        out, n48 = fn(batch, lens, seed=5)
+        out = np.asarray(out)
+        assert out.shape == (8, n_in * 3)
+        assert np.isfinite(out).all()
+        assert np.asarray(n48).tolist() == [n_in * 3] * 8
+
+        std_1, std_2 = m._default_stds()
+        key = jax.random.PRNGKey(5)
+        for s in range(4):
+            loc = slice(2 * s, 2 * s + 2)
+            ref, ref_n48, _ = m._generate_jit(
+                m.params, m.melvoco.vocoder_params,
+                jnp.asarray(batch[loc]), jnp.asarray(lens[loc]),
+                jax.random.fold_in(key, s), 16000, 48000, 1,
+                m.cfm_method, m.ode_method, float(std_1), float(std_2))
+            np.testing.assert_allclose(out[loc], np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.slow
+    def test_dp2_tp2_matches_dp2(self):
+        """dp2 x tp2 vs plain dp2 at dim 1024: adding the model axis must
+        not change the serving output (params replicate over 'model'; the
+        rng folds only the data index)."""
+        m = self._flagship_model()
+        rng = np.random.default_rng(1)
+        n_in = 8000
+        batch = (rng.standard_normal((2, n_in)) * 0.3).astype(np.float32)
+        lens = np.full((2,), n_in, np.int32)
+
+        fn_dp = m.make_sharded_generate(
+            make_global_mesh(n_data=2, n_model=1), in_sr=16000, timestep=1)
+        out_dp, _ = fn_dp(batch, lens, seed=3)
+        fn_tp = m.make_sharded_generate(
+            make_global_mesh(n_data=2, n_model=2), in_sr=16000, timestep=1)
+        out_tp, _ = fn_tp(batch, lens, seed=3)
+        np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_dp),
+                                   rtol=1e-5, atol=1e-5)
+
+
 class TestMultihostSaveSeam:
     def test_single_process_save_unchanged(self, tmp_path):
         """jax.process_count()==1 keeps the plain numpy orbax save + torch

@@ -111,6 +111,67 @@ class TestStreaming:
             StreamingSR(tiny_model, pipeline_depth=0)
 
 
+class TestShardedLongform:
+    """Chunk-parallel long-form over the CPU mesh (VERDICT r4 next #5 —
+    the SP/CP analog of SURVEY §2.4): ONE clip's chunks sharded over the
+    data axis via make_sharded_generate, stitched on host. The sharded-vs-
+    single-chip row equality at flagship dims lives in
+    tests/test_distributed.py::TestFlagshipShardedGenerate."""
+
+    def test_sharded_longform_stitches(self, tiny_model, rng):
+        from flowhigh_tpu.parallel import make_mesh
+        from flowhigh_tpu.streaming import StreamingSR
+
+        mesh = make_mesh(n_data=4, n_model=1)
+        s = StreamingSR(tiny_model, chunk_seconds=1.0, overlap_seconds=0.25)
+        audio = (rng.standard_normal(16000 * 4) * 0.3).astype(np.float32)
+        out = s.generate_sharded(audio, 16000, mesh, seed=2)
+        assert out.shape == (1, 48000 * 4)
+        assert np.isfinite(out).all()
+        # energy everywhere (no dead zones at chunk boundaries or in
+        # regions that rode the zero-padded rows)
+        seg = out[0].reshape(-1, 4800)
+        assert (np.abs(seg).max(axis=1) > 1e-4).all()
+        # deterministic: the compiled program is cached and keyed rng
+        out2 = s.generate_sharded(audio, 16000, mesh, seed=2)
+        np.testing.assert_array_equal(out, out2)
+        assert len(s._sharded_fns) == 1  # one compile for both calls
+
+    def test_sharded_longform_interior_passthrough(self, tiny_model, rng):
+        """Interior samples (weight 1, single contributing chunk) must
+        pass the per-chunk sharded outputs through bit-exactly — pins the
+        chunk geometry + stitch math over the mesh path."""
+        from flowhigh_tpu.parallel import make_mesh
+        from flowhigh_tpu.streaming import StreamingSR
+
+        mesh = make_mesh(n_data=4, n_model=1)
+        s = StreamingSR(tiny_model, chunk_seconds=1.0, overlap_seconds=0.25)
+        sr_in, n = 16000, 16000 * 4
+        audio = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        out = s.generate_sharded(audio, sr_in, mesh, seed=7)
+
+        chunk_in, overlap_in = 16000, 4000
+        hop_in = chunk_in - overlap_in
+        n_chunks = 5  # 1 + ceil((64000-16000)/12000)
+        segs = [np.pad(audio[c * hop_in : c * hop_in + chunk_in],
+                       (0, max(0, chunk_in - len(audio[c * hop_in:])))
+                       )[:chunk_in].astype(np.float32)
+                for c in range(n_chunks)]
+        segs += [np.zeros(chunk_in, np.float32)] * 3  # pad to dp4 multiple
+        fn = s._sharded_fns[(id(mesh), sr_in, 48000, 1)]
+        ys = np.asarray(fn(np.stack(segs),
+                           np.full(8, chunk_in, np.int32), seed=7)[0])
+        to3 = lambda x: 3 * x
+        for c in range(n_chunks):
+            y = ys[c][: to3(chunk_in)]
+            o0 = to3(c * hop_in)
+            lo = to3(overlap_in) if c > 0 else 0
+            hi = len(y) - (to3(overlap_in) if c < n_chunks - 1 else 0)
+            hi = min(hi, out.shape[1] - o0)
+            np.testing.assert_array_equal(out[0, o0 + lo : o0 + hi],
+                                          y[lo:hi])
+
+
 class TestLongform:
     """Single-pass long-form mode (VERDICT r2 item 2): full-context CFM in
     one program, bit-exact chunked vocoder, whole-clip splice."""
