@@ -113,10 +113,15 @@ def cmd_infer(args) -> int:
                       f"({out.shape[-1] / 48000:.2f} s)")
         return 0
 
-    audio, sr = load_wav_mono(args.input)
+    # mono 16-bit wavs ride the int16 input wire (half the upload bytes,
+    # bit-identical) through generate() and StreamingSR alike
+    audio, sr = load_wav_mono(args.input,
+                              keep_int16=not args.no_int16_wire)
     if args.longform == "single_pass":
         # full-context CFM (no chunk seams), vocoder chunked bit-exactly;
         # pair with ModelConfig(attn_flash=True) on TPU for O(N) attention
+        if audio.dtype == np.int16:  # longform program is float-only
+            audio = audio.astype(np.float32) / 32768.0
         out = model.generate_longform(audio, sr, timestep=args.time_step)
     elif args.streaming or args.longform == "streaming" or len(audio) > 30 * sr:
         out = StreamingSR(model).generate(audio, sr, timestep=args.time_step)
@@ -257,10 +262,11 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--wire", default="float32", choices=["float32", "int16"],
                     help="device->host download format for --input_dir mode")
     pi.add_argument("--no_int16_wire", action="store_true",
-                    help="--input_dir mode: upload mono 16-bit wavs as "
-                         "float32 instead of the raw-int16 input wire; "
-                         "avoids the extra per-(rate,bucket) compile when "
-                         "a directory mixes int16 and float/stereo wavs")
+                    help="upload mono 16-bit wavs as float32 instead of "
+                         "the raw-int16 input wire (applies to both "
+                         "--input and --input_dir modes); avoids the "
+                         "extra per-(rate,bucket) compile when a "
+                         "directory mixes int16 and float/stereo wavs")
     pi.add_argument("--ckpt_dir", default=None)
     pi.add_argument("--model_file", default="FLowHigh_basic_400k.pt")
     pi.add_argument("--time_step", type=int, default=1)

@@ -61,9 +61,10 @@ class ServingPipeline:
         (round(clip(x)*32767), the reference's wav scale —
         bigvgan/inference.py:66, meldataset.py:22): half the
         device->host bytes; results are converted back to float32. The
-        clip() hard-limits to [-1, 1], which spliced iSTFT output can
-        overshoot on hot material — keep the float32 default when
-        bit-faithful overshoots matter.
+        error is pure -96 dBFS quantization (<= 0.5/32767 per sample):
+        the splice's x0.99 peak-norm bounds every served output, so the
+        wire's clip() never engages on this path (pinned on hot material
+        by tests/test_metrics_streaming.py::TestInt16WireHotMaterial).
 
         ``seed`` salts the per-request default keys: request i uses
         fold_in(PRNGKey(seed), i) unless ``submit(..., seed=...)`` pins

@@ -87,7 +87,15 @@ def _fast_init(init_fn, rng: jax.Array):
 def _wire_int16(out: jax.Array) -> jax.Array:
     """Waveform -> int16 on device (round(clip(x)*32767)): halves the
     device->host wire bytes for networked serving; the reference writes
-    int16 wavs with the same scale (bigvgan/inference.py:66)."""
+    int16 wavs with the same scale (bigvgan/inference.py:66).
+
+    The clip() is VESTIGIAL for every in-tree caller: wire consumers
+    quantize the post-splice output, and the splice ends in the
+    reference's x0.99 peak-norm (postprocessing.py:51-52), so inputs are
+    bounded to 0.99 and the wire error is pure -96 dBFS quantization
+    (<= 0.5/32767/sample — pinned on hot material by
+    tests/test_metrics_streaming.py::TestInt16WireHotMaterial). It guards
+    only out-of-tree arrays passed to this function directly."""
     return jnp.clip(jnp.round(out * 32767.0), -32768.0, 32767.0).astype(jnp.int16)
 
 
@@ -599,10 +607,11 @@ class FlowHighSR:
         (round(clip(x)*32767), the reference's wav convention —
         bigvgan/inference.py:66, meldataset.py:22) so the device->host
         download moves half the bytes; callers divide by 32767 to recover
-        float. Quantization is -96 dBFS, far below the model's output
-        noise floor — but the clip() also hard-limits samples to [-1, 1],
-        which the spliced iSTFT output can overshoot on hot material; use
-        the float32 wire when bit-faithful overshoots matter."""
+        float. The error is pure -96 dBFS quantization (<= 0.5/32767 per
+        sample), far below the model's output noise floor: the splice's
+        x0.99 peak-norm bounds every output, so the wire's clip() never
+        engages on this path (pinned on hot material by
+        tests/test_metrics_streaming.py::TestInt16WireHotMaterial)."""
         if wire not in (None, "float32", "int16"):
             # validate BEFORE dispatch: a bad value after the jit call would
             # waste a full compile/execute on the discarded result
@@ -610,9 +619,14 @@ class FlowHighSR:
         std_1, std_2 = self._default_stds()
         if key is None:
             key = jax.random.PRNGKey(seed)
-        out, n48, stats = self._generate_jit(
+        batch = jnp.asarray(batch)
+        # int16-dtype batches ride the int16 INPUT wire (half the upload
+        # bytes, cast+scaled on device — bit-identical, see _generate_jit_i16)
+        gen = (self._generate_jit_i16 if batch.dtype == jnp.int16
+               else self._generate_jit)
+        out, n48, stats = gen(
             self.params, self.melvoco.vocoder_params,
-            jnp.asarray(batch), jnp.asarray(lens), key,
+            batch, jnp.asarray(lens), key,
             int(sr), int(target_sampling_rate), int(timestep),
             self.cfm_method, self.ode_method, float(std_1), float(std_2))
         if wire == "int16":

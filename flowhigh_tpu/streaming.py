@@ -45,11 +45,13 @@ class StreamingSR:
         ``wire='int16'`` downloads chunk waveforms as device-quantized int16
         (round(clip(x)*32767), the reference's wav scale) — half the
         device->host bytes per chunk on networked/tunneled deployments; the
-        stitcher converts back to float before the crossfade. Besides the
-        -96 dBFS quantization this also hard-clips samples to [-1, 1]: the
-        spliced iSTFT output can overshoot |1| on hot material (unlike raw
-        tanh'd BigVGAN), so use the default float32 wire when bit-faithful
-        overshoots matter."""
+        stitcher converts back to float before the crossfade. The error is
+        pure -96 dBFS quantization: each chunk is splice-peak-normed to
+        0.99 so the wire's clip() never engages, and the crossfade is a
+        convex combination of per-chunk quantized samples, so the stitched
+        error keeps the same <= 0.5/32767-per-sample bound (pinned on hot
+        material by tests/test_metrics_streaming.py::
+        TestInt16WireHotMaterial)."""
         assert overlap_seconds < chunk_seconds / 2
         if pipeline_depth < 1:
             raise ValueError(
@@ -69,11 +71,21 @@ class StreamingSR:
     def generate(self, audio: np.ndarray, sr: int,
                  target_sampling_rate: int = 48000, timestep: int = 1,
                  seed: int = 0) -> np.ndarray:
-        """[T] any-rate waveform -> [1, T * target/sr] at 48 kHz."""
+        """[T] any-rate waveform -> [1, T * target/sr] at 48 kHz.
+
+        int16-dtype input rides the int16 INPUT wire end to end: raw int16
+        chunks are uploaded (half the host->device bytes — a 5-min 16 kHz
+        source uploads 11 MB instead of 22 MB through the tunnel) and
+        cast+scaled on device, bit-identical to the float path (int16 is
+        exact in float32, /32768 is a power of two). Like generate()/
+        ServingPipeline, int16 dtype is ALWAYS interpreted as PCM scale.
+        Combined with ``wire='int16'`` downloads this is the full-duplex
+        16-bit serving config for PCM sources."""
         audio = np.asarray(audio)
         if audio.ndim == 2:
             audio = audio[0]
-        if np.abs(audio).max() > 1:
+        int16_in = audio.dtype == np.int16
+        if not int16_in and np.abs(audio).max() > 1:
             audio = audio / 32768.0
 
         n = len(audio)
@@ -105,12 +117,13 @@ class StreamingSR:
         # and fetched in order, so host->device uploads and device->host
         # downloads overlap compute instead of serializing per batch — the
         # round-1 streaming path was host-transfer-bound.
+        seg_dtype = np.int16 if int16_in else np.float32
         segs = []
         for c in range(n_chunks):
             seg = audio[c * hop_in : c * hop_in + chunk_in]
             if len(seg) < chunk_in:
                 seg = np.pad(seg, (0, chunk_in - len(seg)))
-            segs.append(seg.astype(np.float32))
+            segs.append(seg.astype(seg_dtype))
 
         from .sr import _warn_if_unconverged
         from .pipeline import StagePipeline
@@ -138,7 +151,7 @@ class StreamingSR:
             nb = len(batch)
             if nb < self.batch_size:
                 # pad rows so every batch reuses ONE compiled program
-                batch = batch + [np.zeros(chunk_in, np.float32)] * (
+                batch = batch + [np.zeros(chunk_in, seg_dtype)] * (
                     self.batch_size - nb)
             return (bi, jax.device_put(np.stack(batch)), nb)
 
@@ -215,11 +228,15 @@ class StreamingSR:
 
         Chunk count is padded up to a multiple of the data-axis size with
         zero rows (discarded after); every call with the same
-        (mesh, sr, target, timestep) reuses one compiled program."""
+        (mesh, sr, target, timestep) reuses one compiled program.
+        int16 input is converted on host (PCM scale) — the sharded program
+        is float-only."""
         audio = np.asarray(audio)
         if audio.ndim == 2:
             audio = audio[0]
-        if np.abs(audio).max() > 1:
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
+        elif np.abs(audio).max() > 1:
             audio = audio / 32768.0
 
         n = len(audio)

@@ -41,11 +41,16 @@ def main():
              + 0.2 * np.sin(2 * np.pi * 880 * t)
              + 0.01 * rng.standard_normal(n)).astype(np.float32)
 
+    # full-duplex 16-bit arm: int16 INPUT wire (raw PCM uploads, halved —
+    # 11 MB instead of 22 MB for 5 min @ 16 kHz) + int16 download wire.
+    # The production config for 16-bit sources; bit-identical input path.
     stream_i16 = StreamingSR(model, wire="int16")
+    audio_i16 = np.clip(np.round(audio * 32768.0),
+                        -32768, 32767).astype(np.int16)
 
     out = stream.generate(audio, in_sr, timestep=1)  # warm-up / compile
     assert np.isfinite(out).all() and out.shape[-1] == n * 3
-    out = stream_i16.generate(audio, in_sr, timestep=1)  # warm int16 program
+    out = stream_i16.generate(audio_i16, in_sr, timestep=1)  # warm i16 duplex
     assert np.isfinite(out).all()
 
     # serving-reference arm: the SAME 10 s-chunk program pumped upload-free
@@ -96,14 +101,15 @@ def main():
     # arms interleaved: tunnel-RTT weather drifts +-30% within an hour
     times = {"float32": [], "int16": [], "serving_ref": []}
     for i in range(3):
-        for wire, s in (("float32", stream), ("int16", stream_i16)):
+        for wire, s, a in (("float32", stream, audio),
+                           ("int16", stream_i16, audio_i16)):
             t0 = time.perf_counter()
-            out = s.generate(audio, in_sr, timestep=1, seed=i)
+            out = s.generate(a, in_sr, timestep=1, seed=i)
             # output is host numpy already — wall time IS end-to-end time
             times[wire].append(time.perf_counter() - t0)
         times["serving_ref"].append(serving_ref(i))
     for wire, metric in (("float32", "streaming_rtf_16k_to_48k_5min_euler1"),
-                         ("int16", "streaming_int16_wire_rtf_5min_euler1"),
+                         ("int16", "streaming_int16_duplex_rtf_5min_euler1"),
                          ("serving_ref", "serving_ref_rtf_same_window")):
         dt = sorted(times[wire])[len(times[wire]) // 2]
         print(json.dumps({
