@@ -25,4 +25,5 @@ class TestDryrunMultichip:
     def test_dryrun_8_devices(self, capsys):
         ge.dryrun_multichip(8)
         out = capsys.readouterr().out
-        assert out.count("OK") == 2  # train step + sharded generate
+        # train step + sharded generate + sharded longform
+        assert out.count("OK") == 3
