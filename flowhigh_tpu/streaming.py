@@ -104,12 +104,6 @@ class StreamingSR:
 
         n_chunks = 1 + math.ceil((n - chunk_in) / hop_in)
         total_out = to_out(n)
-        out = np.zeros(total_out, np.float32)
-        weight = np.zeros(total_out, np.float32)
-
-        overlap_out = to_out(overlap_in)
-        # equal-power crossfade ramps
-        ramp = np.sin(0.5 * np.pi * np.linspace(0, 1, overlap_out)) ** 2
 
         # all chunks share one shape -> process them in device batches: the
         # control round trip amortizes and the chip fills better. Batches are
