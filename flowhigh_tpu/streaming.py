@@ -259,7 +259,11 @@ class StreamingSR:
         n_rows = math.ceil(n_chunks / n_data) * n_data
         segs += [np.zeros(chunk_in, np.float32)] * (n_rows - n_chunks)
 
-        cache_key = (id(mesh), sr, target_sampling_rate, timestep)
+        # key by mesh STRUCTURE (axes + device ids), not id(mesh): a GC'd
+        # mesh's address can be reused by a different mesh
+        mesh_key = (tuple(mesh.shape.items()),
+                    tuple(d.id for d in mesh.devices.flat))
+        cache_key = (mesh_key, sr, target_sampling_rate, timestep)
         fn = self._sharded_fns.get(cache_key)
         if fn is None:
             fn = self.model.make_sharded_generate(

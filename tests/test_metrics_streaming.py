@@ -231,7 +231,9 @@ class TestShardedLongform:
                        )[:chunk_in].astype(np.float32)
                 for c in range(n_chunks)]
         segs += [np.zeros(chunk_in, np.float32)] * 3  # pad to dp4 multiple
-        fn = s._sharded_fns[(id(mesh), sr_in, 48000, 1)]
+        mesh_key = (tuple(mesh.shape.items()),
+                    tuple(d.id for d in mesh.devices.flat))
+        fn = s._sharded_fns[(mesh_key, sr_in, 48000, 1)]
         ys = np.asarray(fn(np.stack(segs),
                            np.full(8, chunk_in, np.int32), seed=7)[0])
         to3 = lambda x: 3 * x
