@@ -12,16 +12,53 @@ north star is >50x real time per chip, so vs_baseline = RTF / 50.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+# Best-effort progress for the stall watchdog: the axon tunnel has measured
+# multi-minute PARTIAL outages where a device->host fetch never returns
+# (PERF.md / CLAUDE.md rule 5) — a thread blocked in that fetch can hang
+# this process past any driver deadline with ZERO lines emitted. The
+# watchdog thread fires after WATCHDOG_S, prints whatever metrics completed
+# (headline computed from partial reps if any), and hard-exits so the
+# driver always gets a parseable last line.
+WATCHDOG_S = 1500.0
+_progress = {"times": [], "stage": "startup"}
+
+
+def _watchdog():
+    times = _progress["times"]
+    if times:
+        dt = sorted(times)[len(times) // 2]
+        print(json.dumps({
+            "metric": "generate_rtf_16k_to_48k_10s_euler1",
+            "value": round(10.0 / dt, 2),
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": round(10.0 / dt / 50.0, 3),
+            "note": f"watchdog: tunnel stalled in stage "
+                    f"'{_progress['stage']}' after {len(times)} reps",
+        }), flush=True)
+    else:
+        print(json.dumps({
+            "metric": "generate_rtf_16k_to_48k_10s_euler1",
+            "error": f"tunnel stall in stage '{_progress['stage']}' "
+                     f"(watchdog after {WATCHDOG_S:.0f}s)",
+        }), flush=True)
+    os._exit(0)
 
 
 def main():
     import pathlib
 
     import jax
+
+    wd = threading.Timer(WATCHDOG_S, _watchdog)
+    wd.daemon = True
+    wd.start()
 
     # persistent compile cache: the full fused pipeline takes minutes to
     # compile cold on TPU; warm runs load in seconds.
@@ -47,6 +84,7 @@ def main():
              + 0.01 * rng.standard_normal(t.shape)).astype(np.float32)
 
     # warm-up / compile (full host-side path, checks numerics)
+    _progress["stage"] = "warmup_compile"
     out = sr.generate(audio, sr=in_sr, timestep=1)
     assert np.isfinite(out).all()
 
@@ -66,8 +104,9 @@ def main():
             in_sr, 48000, 1, sr.cfm_method, sr.ode_method, 1.0, 1.0)
         return out
 
+    _progress["stage"] = "latency_reps"
     _ = float(run(key).ravel()[0])  # warm
-    times = []
+    times = _progress["times"]
     for i in range(reps):
         t0 = time.perf_counter()
         _ = float(run(jax.random.fold_in(key, i)).ravel()[0])
@@ -80,6 +119,7 @@ def main():
     # device_ms_per_clip = clip wall - null RTT isolates device-side code
     # progress from tunnel weather so round-over-round BENCH deltas aren't
     # conflated (VERDICT r4 weak #3).
+    _progress["stage"] = "null_rtt"
     nul = jax.jit(lambda x: x + 1.0)
     x0 = jnp.zeros(())
     _ = float(nul(x0))  # warm
@@ -104,7 +144,6 @@ def main():
     # latency metric saturated by RTT cannot (VERDICT r3 weak #1).
     try:
         import queue
-        import threading
 
         from flowhigh_tpu.sr import _wire_int16
 
@@ -145,6 +184,7 @@ def main():
             assert all(np.isfinite(o).all() for o in done)
             return n_clips * seconds / wall
 
+        _progress["stage"] = "sustained_float32"
         print(json.dumps({
             "metric": "serving_sustained_rtf_16k_to_48k_10s_euler1",
             "value": round(run_sustained("float32"), 2),
@@ -155,6 +195,7 @@ def main():
         # on TRUE serving incl. uploads (scripts/bench_serving_pipeline.py,
         # PERF.md round-4); labeled separately to keep the float32 line
         # comparable across rounds.
+        _progress["stage"] = "sustained_int16"
         print(json.dumps({
             "metric": "serving_sustained_int16_wire_rtf_10s_euler1",
             "value": round(run_sustained("int16"), 2),
@@ -164,6 +205,7 @@ def main():
         print(json.dumps({"metric": "serving_sustained_rtf_16k_to_48k_10s_euler1",
                           "error": str(e)[:200]}))
 
+    wd.cancel()
     print(json.dumps({
         "metric": "generate_rtf_16k_to_48k_10s_euler1",
         "value": round(rtf, 2),
