@@ -150,6 +150,14 @@ class TrainConfig:
     cond_freq_masking: bool = False
     random_seed: int = 104
     random_split_seed: int = 53
+    # Training-compute dtype for the vector field (the TPU analog of the
+    # reference's Accelerate autocast, trainer.py:285). Params, grads, Adam
+    # moments and the loss stay float32 — only the net's matmul compute
+    # drops. Measured on one v5e (interleaved A/B, PERF.md round-5):
+    # batch 32: 56.8 -> 46.7 ms/step; batch 64: 87.6 -> 64.3 ms/step
+    # (1.36x); grad cosine vs f32 > 0.995 (tests/test_train.py).
+    # "float32" opts out. Inference keeps model.compute_dtype (f32 default).
+    amp_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)

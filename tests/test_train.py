@@ -1,6 +1,8 @@
 """Training stack: optimizer schedule, data pipeline, DP/TP train steps on the
 virtual 8-device CPU mesh, checkpoint save/resume round trip."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -333,15 +335,49 @@ class TestVocoderDataAndScan:
             (tmp_path / f"FLowHigh.{step}.pt").touch()
         assert scan_checkpoints(tmp_path).name == "FLowHigh.2000.pt"
 
-    def test_bf16_train_step(self, tiny_batch):
-        from flowhigh_tpu.config import ModelConfig, TrainConfig
-        cfg = TINY_CFG.replace(model=ModelConfig(
-            dim_in=256, dim=32, depth=2, heads=2, dim_head=8,
-            compute_dtype="bfloat16"))
-        tr = Trainer(cfg, mesh=make_mesh(n_data=2, n_model=1))
-        state = tr.init_state(jax.random.PRNGKey(0))
-        state, m = tr.train_step(state, tiny_batch)
+    def test_amp_default_is_bf16_and_f32_opts_out(self, tiny_batch):
+        """Training defaults to bfloat16 compute (the reference's autocast
+        analog, trainer.py:285) — params stay f32; amp_dtype='float32'
+        opts out and the Trainer then runs the model's own compute_dtype."""
+        assert TrainConfig().amp_dtype == "bfloat16"
+        tr = Trainer(TINY_CFG, mesh=make_mesh(n_data=2, n_model=1))
+        assert tr.net.cfg.compute_dtype == "bfloat16"
+        assert all(v.dtype == jnp.float32 for v in jax.tree.leaves(
+            tr.init_state(jax.random.PRNGKey(0)).params))
+        cfg32 = TINY_CFG.replace(train=dataclasses.replace(
+            TINY_CFG.train, amp_dtype="float32"))
+        tr32 = Trainer(cfg32, mesh=make_mesh(n_data=2, n_model=1))
+        assert tr32.net.cfg.compute_dtype == "float32"
+        state, m = tr32.train_step(
+            tr32.init_state(jax.random.PRNGKey(0)), tiny_batch)
         assert np.isfinite(float(m["loss"]))
+
+    def test_bf16_grads_align_with_f32(self, tiny_batch):
+        """bf16 training compute optimizes the same objective: at identical
+        params/rng/batch, the bf16 gradient is nearly collinear with the f32
+        one and the losses agree to bf16 precision. Params stay f32 in both
+        (mixed precision — only matmul compute drops to bf16; the output
+        head upcasts before the MSE, models/vector_field.py:92-94)."""
+
+        def grads_for(dtype):
+            cfg = TINY_CFG.replace(train=dataclasses.replace(
+                TINY_CFG.train, amp_dtype=dtype))
+            tr = Trainer(cfg, mesh=make_mesh(n_data=1, n_model=1))
+            state = tr.init_state(jax.random.PRNGKey(0))
+            loss, grads = jax.value_and_grad(tr._loss_fn)(
+                state.params, jax.random.PRNGKey(7),
+                jnp.asarray(tiny_batch["wave"]),
+                jnp.asarray(tiny_batch["cond"]),
+                jnp.asarray(tiny_batch["lengths"]))
+            flat = jnp.concatenate(
+                [g.ravel() for g in jax.tree.leaves(grads)])
+            return float(loss), np.asarray(flat, np.float64)
+
+        loss_f32, g_f32 = grads_for("float32")
+        loss_b16, g_b16 = grads_for("bfloat16")
+        assert abs(loss_b16 - loss_f32) / abs(loss_f32) < 2e-2
+        cos = g_f32 @ g_b16 / (np.linalg.norm(g_f32) * np.linalg.norm(g_b16))
+        assert cos > 0.995, f"grad cosine {cos}"
 
 
 class TestFullStateCheckpoint:
