@@ -205,6 +205,45 @@ def main():
         print(json.dumps({"metric": "serving_sustained_rtf_16k_to_48k_10s_euler1",
                           "error": str(e)[:200]}))
 
+    # training-step throughput (bf16 amp default, PERF.md round-5): chained
+    # dispatch with one loss fetch per group — the fit() steady state, which
+    # fetches metrics every log_every steps. Same config as
+    # scripts/bench_train.py so the persistent compile cache is shared.
+    try:
+        from flowhigh_tpu.config import TrainConfig
+        from flowhigh_tpu.train import Trainer
+
+        _progress["stage"] = "train_step"
+        tcfg = FlowHighConfig().replace(train=TrainConfig(
+            batch_size=32, num_train_steps=1000, num_warmup_steps=0))
+        tr = Trainer(tcfg, cfm_method="independent_cfm_adaptive")
+        state = tr.init_state(jax.random.PRNGKey(0))
+        tb = {
+            "wave": (rng.standard_normal((32, 144000)) * 0.3).astype(np.float32),
+            "cond": (rng.standard_normal((32, 144000)) * 0.3).astype(np.float32),
+            "lengths": np.full((32,), 144000, np.int32),
+        }
+        state, m = tr.train_step(state, tb)  # compile (cache-warm)
+        assert np.isfinite(float(m["loss"]))
+        dev_b = [jax.device_put(tb) for _ in range(2)]
+        chain, groups, ttimes = 4, 5, []
+        for g in range(groups):
+            t0 = time.perf_counter()
+            for j in range(chain):
+                state, m = tr.train_step(state, dev_b[j % 2])
+            _ = float(m["loss"])
+            ttimes.append((time.perf_counter() - t0) / chain)
+        step_ms = sorted(ttimes)[groups // 2] * 1e3
+        print(json.dumps({
+            "metric": "train_step_ms_b32_3s_bf16_chain4",
+            "value": round(step_ms, 1),
+            "unit": "ms",
+            "clips_per_sec": round(32 / (step_ms / 1e3), 1),
+        }))
+    except Exception as e:  # never break the headline metric
+        print(json.dumps({"metric": "train_step_ms_b32_3s_bf16_chain4",
+                          "error": str(e)[:200]}))
+
     wd.cancel()
     print(json.dumps({
         "metric": "generate_rtf_16k_to_48k_10s_euler1",

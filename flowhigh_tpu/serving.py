@@ -69,6 +69,17 @@ class ServingPipeline:
         ``seed`` salts the per-request default keys: request i uses
         fold_in(PRNGKey(seed), i) unless ``submit(..., seed=...)`` pins
         an explicit one.
+
+        Long-running deployments: soak-tested flat at the device rate
+        (116-117x per minute over 20 min, scripts/soak_serving.py). On
+        the TUNNELED dev backend the client layer retains ~0.8 MB of
+        host memory per clip under this concurrent thread structure
+        (attributed to the axon PJRT client: every single-threaded
+        operation is leak-free, jax.live_arrays() stays flat, gc and
+        MALLOC_ARENA_MAX=1 change nothing — PERF.md round-5 /
+        scripts/probe_rss_leak.py); budget host RAM or recycle the
+        process accordingly there. Not reproduced on the in-process
+        CPU backend (tests/test_serving.py soak smoke).
         """
         if max_in_flight < 1:
             raise ValueError(f"max_in_flight must be >= 1, got {max_in_flight}")

@@ -128,3 +128,35 @@ class TestServingPipeline:
     def test_warmup(self, tiny_model):
         with ServingPipeline(tiny_model) as srv:
             srv.warmup(16000, 0.5)  # compiles the (16000, 1-bucket) program
+
+    def test_soak_smoke_no_host_leak(self, tiny_model, rng):
+        """Hundreds of clips through one pipeline: all complete, no stage
+        errors, and host RSS growth DECAYS phase over phase (allocator/pool
+        warm-up plateau, measured 54->21->6->3 MB per 100 clips) rather
+        than staying linear — the in-process CPU backend does NOT
+        reproduce the linear ~0.8 MB/clip client-layer retention measured
+        on the tunneled TPU backend (PERF.md round-5,
+        scripts/soak_serving.py --diag + scripts/probe_rss_leak.py)."""
+        def rss_mb():
+            with open("/proc/self/statm") as f:
+                return int(f.read().split()[1]) * 4096 / 1e6
+
+        clip = (rng.standard_normal(8000) * 32000).astype(np.int16)
+        per_phase = 100
+        growth = []
+        with ServingPipeline(tiny_model, max_in_flight=4,
+                             wire="int16") as srv:
+            srv.submit(clip, 16000).result()  # compile outside the window
+            for _phase in range(3):
+                r0 = rss_mb()
+                futs = [srv.submit(clip, 16000) for _ in range(per_phase)]
+                outs = [f.result() for f in futs]
+                growth.append(rss_mb() - r0)
+                assert len(outs) == per_phase
+                assert all(o.dtype == np.float32 and o.size for o in outs)
+            assert not srv._pipe.stage_errors
+        # a linear per-clip leak would hold the first-phase rate; the
+        # warm-up plateau drops well under half of it by phase 3
+        assert growth[2] < max(15.0, 0.5 * growth[0]), (
+            f"host RSS growth not plateauing: {growth} MB per "
+            f"{per_phase}-clip phase")
